@@ -1,0 +1,144 @@
+"""Benchmark harness (driver contract).
+
+Headline metric: Count-Min update+merge wall seconds over a deterministic
+synthetic web-page corpus (the north-rule throughput number, reported with
+docs/sec and tokens/sec alongside), plus per-query timings for the driver
+queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR      (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        (default 32)
+  SPARK_GRAFT_BENCH_PAGES (default 120000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+BENCH_QUERIES = [
+    "cms_sketch_table",
+    "cms_point_query",
+    "cms_range_query",
+    "cms_inner_product",
+    "cms_token_point_query",
+    "cms_heavy_hitters",
+    "exact_token_counts",
+]
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"pcms-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .getOrCreate()
+    )
+
+
+def ensure_corpus(spark, n_pages: int, seed: int = 12345) -> str:
+    """Materialize the deterministic corpus once; reuse across rounds."""
+    path = os.path.join(CACHE_DIR, f"web_pages_s{seed}_n{n_pages}.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from parallel_count_min_sketch_spark.sources.web_pages import web_pages
+
+        web_pages(spark, n_pages, seed=seed, partitions=max(CPUS * 2, 8)) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_cms_build(spark, corpus_path: str) -> dict:
+    """The north-rule number: distributed CMS update+merge over the token
+    stream of the corpus (text column only — html stays pruned).
+
+    A small warmup job spins up the Python workers (imports, allocator
+    tuning, page-fault warmup) first, mirroring a long-lived cluster's
+    steady state; both cold and warm walls are reported."""
+    from parallel_count_min_sketch_spark.config import CMSConfig
+    from parallel_count_min_sketch_spark.operators.agg import build_cms_from_text
+
+    cfg = CMSConfig(epsilon=0.001, delta=0.1, seed=12345)
+    df = spark.read.parquet(corpus_path).select("text")
+    n_docs = df.count()  # warms the scan metadata
+    # warmup: same UDF shape over a tiny slice, touches every worker
+    warm_df = spark.read.parquet(corpus_path).select("text").limit(5000) \
+        .repartition(CPUS * 2)
+    t0 = time.perf_counter()
+    build_cms_from_text(warm_df, "text", cfg)
+    warmup_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sk = build_cms_from_text(df, "text", cfg)
+    wall = time.perf_counter() - t0
+    return {
+        "build_sec": round(wall, 3),
+        "warmup_sec": round(warmup_sec, 3),
+        "n_docs": n_docs,
+        "n_tokens": sk.total,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "tokens_per_sec": round(sk.total / wall, 1),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = ensure_corpus(spark, N_PAGES)
+    build = bench_cms_build(spark, corpus)
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    timings["cms_build_corpus"] = build["build_sec"]
+    timings["cms_build_warmup"] = build["warmup_sec"]
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "cms_update_merge_build_sec",
+        "value": build["build_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "corpus_docs": build["n_docs"],
+        "corpus_tokens": build["n_tokens"],
+        "docs_per_sec": build["docs_per_sec"],
+        "tokens_per_sec": build["tokens_per_sec"],
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Spark aggregation layer: the mergeable-UDAF emulation.
+
+PySpark has no user-defined mergeable aggregate, so we implement the
+partial/final pattern explicitly — the same two-level design as the
+reference's per-rank partial sketch + MPI_Reduce merge
+(src/mpi/mpiV2.c:131-175) and its OpenMP thread-private variant
+(src/openmp/openmpV1.c:73-105):
+
+  stage 1 (map):   ``mapInArrow`` over the item column; each task folds its
+                   Arrow batches into ONE numpy sketch (np.bincount per hash
+                   row — no per-row Python) and emits a single serialized
+                   partial-sketch row (~tens of KB).
+  stage 2 (reduce): associative element-wise merge of the partials — a
+                   tree reduction (``RDD.treeReduce``), exactly what
+                   MPI_Reduce does internally.
+
+At 100 TB the stage-1 output is one small row per input split, so the
+"shuffle" is a few MB regardless of input size; the build is embarrassingly
+parallel, which is what makes the >=0.8 N->4N scaling efficiency criterion
+reachable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import CMSConfig
+from ..memtune import tune_allocator
+from ..sketches.cms import CountMinSketch
+from ..sketches.hashing import djb2_batch
+
+# Bound per-call scratch memory in worker kernels: chunked processing keeps
+# the first-touch page-fault cost per worker tiny and the working set in
+# cache (see memtune.py for why this matters here).
+CHUNK_TOKENS = 1 << 17
+
+PARTIAL_SCHEMA = "partition_id INT, rows_seen LONG, total LONG, sketch BINARY"
+_PARTIAL_PA = pa.schema(
+    [
+        ("partition_id", pa.int32()),
+        ("rows_seen", pa.int64()),
+        ("total", pa.int64()),
+        ("sketch", pa.binary()),
+    ]
+)
+
+
+def _partial_batch(pid: int, rows_seen: int, sk: CountMinSketch) -> pa.RecordBatch:
+    return pa.RecordBatch.from_pydict(
+        {
+            "partition_id": [pid],
+            "rows_seen": [rows_seen],
+            "total": [sk.total],
+            "sketch": [sk.to_bytes()],
+        },
+        schema=_PARTIAL_PA,
+    )
+
+
+def _task_partition_id() -> int:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.partitionId() if ctx is not None else -1
+
+
+def _items_from_array(col: pa.Array, string_items: bool) -> np.ndarray:
+    if string_items:
+        return djb2_batch(col)
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def cms_partials(df, item_col: str, cfg: CMSConfig, *, weight_col: str | None = None,
+                 string_items: bool = False):
+    """DataFrame[item(, weight)] -> DataFrame[partition_id, rows_seen, total, sketch]
+    with exactly one row per input partition (the per-rank partial sketch,
+    reference src/mpi/mpiV2.c:131-140)."""
+    cols = [item_col] + ([weight_col] if weight_col else [])
+    proj = df.select(*cols)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        sk = cfg.new_sketch()
+        rows = 0
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                keep = col.is_valid()
+                batch = batch.filter(keep)
+                col = batch.column(0)
+            weights_all = (
+                batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                if weight_col
+                else None
+            )
+            for lo in range(0, len(col), CHUNK_TOKENS):
+                chunk = col.slice(lo, CHUNK_TOKENS)
+                items = _items_from_array(chunk, string_items)
+                weights = weights_all[lo:lo + CHUNK_TOKENS] if weight_col else None
+                sk.update_batch(items, weights)
+                rows += len(items)
+        yield _partial_batch(_task_partition_id(), rows, sk)
+
+    return proj.mapInArrow(fold, PARTIAL_SCHEMA)
+
+
+def cms_text_partials(df, text_col: str, cfg: CMSConfig, *, sep: str = " "):
+    """Sketch the token stream of a text column without a JVM-side explode:
+    each Arrow batch's strings are concatenated and split once (C-speed),
+    then djb2-hashed as one vector. One partial row per partition."""
+    import pyarrow.compute as pc
+
+    proj = df.select(text_col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        sk = cfg.new_sketch()
+        rows = 0
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            # tokenize + flatten + filter entirely in Arrow C kernels
+            tokens = pc.list_flatten(pc.split_pattern(col, sep))
+            if len(tokens):
+                tokens = pc.filter(tokens, pc.not_equal(tokens, ""))
+            for lo in range(0, len(tokens), CHUNK_TOKENS):
+                chunk = tokens.slice(lo, CHUNK_TOKENS)
+                sk.update_batch(djb2_batch(chunk))
+                rows += len(chunk)
+        yield _partial_batch(_task_partition_id(), rows, sk)
+
+    return proj.mapInArrow(fold, PARTIAL_SCHEMA)
+
+
+def merge_partials(partials_df, cfg: CMSConfig, *, depth: int | None = None) -> CountMinSketch:
+    """Tree-merge serialized partials into one sketch (MPI_Reduce analog,
+    src/mpi/mpiV2.c:163-175). treeReduce keeps every merge step bounded:
+    with P partials and fan-in f, no single node touches more than f
+    sketches — scalable to 10^5 input splits."""
+    rdd = partials_df.select("sketch").rdd.map(lambda r: bytes(r[0]))
+    n = max(rdd.getNumPartitions(), 2)
+    tree_depth = depth if depth is not None else max(2, int(math.ceil(math.log(n, 16))))
+
+    eps, delta = cfg.epsilon, cfg.delta
+
+    def merge_bytes(x: bytes, y: bytes) -> bytes:
+        a = CountMinSketch.from_bytes(x, eps, delta)
+        b = CountMinSketch.from_bytes(y, eps, delta)
+        return a.merge(b).to_bytes()
+
+    blob = rdd.treeReduce(merge_bytes, depth=tree_depth)
+    return CountMinSketch.from_bytes(blob, eps, delta)
+
+
+def build_cms(df, item_col: str, cfg: CMSConfig, *, weight_col: str | None = None,
+              string_items: bool = False) -> CountMinSketch:
+    """End-to-end: partial sketches per partition -> tree merge -> sketch."""
+    return merge_partials(
+        cms_partials(df, item_col, cfg, weight_col=weight_col, string_items=string_items), cfg
+    )
+
+
+def build_cms_from_text(df, text_col: str, cfg: CMSConfig) -> CountMinSketch:
+    return merge_partials(cms_text_partials(df, text_col, cfg), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Per-group sketches (e.g. one CMS per lang / per host).
+# Two-phase to stay skew-proof: phase 1 emits bounded per-(partition, group)
+# partials; phase 2 shuffles only those small rows and merges per group —
+# a hot group never concentrates raw rows on one task.
+# ---------------------------------------------------------------------------
+GROUPED_PARTIAL_SCHEMA = "group STRING, rows_seen LONG, total LONG, sketch BINARY"
+_GROUPED_PA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("rows_seen", pa.int64()),
+        ("total", pa.int64()),
+        ("sketch", pa.binary()),
+    ]
+)
+
+
+def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
+                         string_items: bool = False):
+    proj = df.select(group_col, item_col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        sketches: dict[str, CountMinSketch] = {}
+        counts: dict[str, int] = {}
+        for batch in batches:
+            gcol = batch.column(0)
+            items = _items_from_array(batch.column(1), string_items)
+            groups = np.asarray(gcol.to_pylist(), dtype=object)
+            order = np.argsort(groups, kind="stable")
+            sorted_groups = groups[order]
+            sorted_items = items[order]
+            uniq, starts = np.unique(sorted_groups, return_index=True)
+            bounds = np.append(starts, len(sorted_groups))
+            for g, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = cfg.new_sketch()
+                    sketches[g] = sk
+                    counts[g] = 0
+                sk.update_batch(sorted_items[lo:hi])
+                counts[g] += int(hi - lo)
+        if sketches:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "group": list(sketches.keys()),
+                    "rows_seen": [counts[g] for g in sketches],
+                    "total": [sketches[g].total for g in sketches],
+                    "sketch": [sketches[g].to_bytes() for g in sketches],
+                },
+                schema=_GROUPED_PA,
+            )
+
+    return proj.mapInArrow(fold, GROUPED_PARTIAL_SCHEMA)
+
+
+def cms_grouped(df, group_col: str, item_col: str, cfg: CMSConfig, *,
+                string_items: bool = False):
+    """DataFrame[group, total, sketch]: one merged CMS per group value."""
+    partials = cms_grouped_partials(df, group_col, item_col, cfg, string_items=string_items)
+    eps, delta = cfg.epsilon, cfg.delta
+
+    def merge_group(pdf):
+        import pandas as pd
+
+        merged = CountMinSketch.merge_blobs(pdf["sketch"], eps, delta)
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "rows_seen": [int(pdf["rows_seen"].sum())],
+                "total": [merged.total],
+                "sketch": [merged.to_bytes()],
+            }
+        )
+
+    return partials.groupBy("group").applyInPandas(merge_group, GROUPED_PARTIAL_SCHEMA)

@@ -1,0 +1,99 @@
+"""Pure-JVM CMS build and queries as DataFrame operations.
+
+The CMS counter matrix is just a GROUP BY: counter[j][k] = sum of weights
+of items with h_j(item) == k. Expressed declaratively, Catalyst gives us
+map-side partial aggregation (the per-partition partial sketch), a shuffle
+of at most depth*width rows per partition, and whole-stage codegen — zero
+Python in the hot path. Queries are broadcast joins against the resulting
+tiny (depth x width) table.
+
+This is the "let Catalyst pick the physical strategy" counterpart of the
+Arrow kernel in ``agg.py``; both compute the same matrix (tests assert
+equality), and ``bench.py`` races them.
+
+The same SQL text (emitted by CMSConfig.bucket_sql) runs verbatim in DuckDB,
+which is how the driver's correctness oracle checks sketch values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CMSConfig, djb2_sql_spark
+from ..sketches.cms import CountMinSketch
+
+
+def with_item_id(df: DataFrame, col: str, *, string_items: bool = False,
+                 out: str = "item_id") -> DataFrame:
+    """Normalize the item column to BIGINT ids (djb2 for strings —
+    cms_update_str analog, src/core/count_min_sketch.c:24-27 — JVM-side
+    via a higher-order-function fold, no Python UDF)."""
+    if string_items:
+        return df.withColumn(out, F.expr(djb2_sql_spark(col)))
+    return df.withColumn(out, F.col(col).cast("bigint"))
+
+
+def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
+                 weight_col: str | None = None, string_items: bool = False) -> DataFrame:
+    """The sketch matrix as DataFrame[depth_row INT, bucket BIGINT, counter BIGINT].
+
+    Omits zero counters (a dense matrix is reconstructed by zero-filling).
+    """
+    base = with_item_id(df.select(item_col, *( [weight_col] if weight_col else [] )),
+                        item_col, string_items=string_items)
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    buckets = F.array(*[F.expr(sql) for sql in cfg.bucket_sql_all_rows("item_id")])
+    exploded = base.select(F.posexplode(buckets).alias("depth_row", "bucket"),
+                           w.alias("weight"))
+    return (
+        exploded.groupBy("depth_row", "bucket")
+        .agg(F.sum("weight").alias("counter"))
+    )
+
+
+def collect_cms(df: DataFrame, item_col: str, cfg: CMSConfig, *,
+                weight_col: str | None = None, string_items: bool = False) -> CountMinSketch:
+    """Materialize the JVM-built sketch into the numpy kernel object."""
+    rows = cms_table_df(df, item_col, cfg, weight_col=weight_col,
+                        string_items=string_items).collect()
+    sk = cfg.new_sketch()
+    for r in rows:
+        sk.table[r["depth_row"], r["bucket"]] = r["counter"]
+    sk.total = int(sk.table[0].sum())
+    return sk
+
+
+def point_query_join(table: DataFrame, probes_df: DataFrame, probe_col: str,
+                     cfg: CMSConfig, *, probes_are_strings: bool = False) -> DataFrame:
+    """Distributed CMS point query against a prebuilt sketch table:
+    est(x) = min over depth rows of counter[j][h_j(x)].
+
+    The sketch table is at most depth*width rows regardless of input size,
+    so it is always broadcast — the probe side can be arbitrarily large
+    (e.g. every distinct token for heavy-hitter extraction) and never
+    shuffles against the data, only a map-side join + small groupBy.
+    Missing buckets are zero counters.
+    """
+    qdf = with_item_id(probes_df.select(F.col(probe_col).alias("item")), "item",
+                       string_items=probes_are_strings, out="qid")
+    buckets = F.array(*[F.expr(sql) for sql in cfg.bucket_sql_all_rows("qid")])
+    probes = qdf.select("item", F.posexplode(buckets).alias("depth_row", "bucket"))
+    joined = probes.join(F.broadcast(table), ["depth_row", "bucket"], "left")
+    per_row = joined.select("item", F.coalesce("counter", F.lit(0)).alias("counter"))
+    return per_row.groupBy("item").agg(F.min("counter").alias("cms_estimate"))
+
+
+def point_query_df(df: DataFrame, item_col: str, cfg: CMSConfig, query_items,
+                   *, weight_col: str | None = None, string_items: bool = False,
+                   query_are_strings: bool | None = None) -> DataFrame:
+    """Point query for an explicit list of items -> DataFrame[item, cms_estimate]."""
+    spark = df.sparkSession
+    table = cms_table_df(df, item_col, cfg, weight_col=weight_col,
+                         string_items=string_items)
+    if query_are_strings is None:
+        query_are_strings = string_items
+    if query_are_strings:
+        qdf = spark.createDataFrame([(str(x),) for x in query_items], "item STRING")
+    else:
+        qdf = spark.createDataFrame([(int(x),) for x in query_items], "item BIGINT")
+    return point_query_join(table, qdf, "item", cfg, probes_are_strings=query_are_strings)

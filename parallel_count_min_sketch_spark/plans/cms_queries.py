@@ -1,0 +1,260 @@
+"""Driver-contract CMS queries with exact DuckDB oracle mirrors.
+
+Each Spark query has a DuckDB SQL twin that replays the *identical* integer
+hash arithmetic (constants baked in from the seeded config), so the
+correctness gate checks sketch VALUES, not just row counts. This is the
+Spark-era analog of the reference printing exact oracle counters next to
+estimates (src/mpi/mpiV2.c:185-192).
+
+Conventions:
+- items: ``lineitem.l_partkey`` (integer domain, like the reference's uint32
+  items); tokens: whitespace-split ``documents.text`` (djb2 -> int domain,
+  cms_update_str analog).
+- empty tokens are filtered BEFORE hashing on both sides (Spark's
+  sequence(1,0) is descending, not empty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import CMSConfig, djb2_sql_duckdb
+from ..operators.sql_build import cms_table_df, point_query_df
+from ..sources.tables import load
+
+CFG = CMSConfig(epsilon=0.001, delta=0.1, seed=12345)  # reference defaults -> 3 x 2719
+
+PROBE_ITEMS = [1, 25, 123, 456, 777, 1500, 999_999]
+RANGE_LO, RANGE_HI = 100, 110  # the reference's hard-coded oracle range
+TOKEN_PROBES = ["spark", "key", "query", "table", "zzz_missing_token"]
+HH_FRACTION = 0.02
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL builders
+# --------------------------------------------------------------------------
+
+def _duck_buckets_cte(item_sql: str, cfg: CMSConfig = CFG, weight_sql: str = "1") -> str:
+    """CTE producing the non-zero sketch counters from an `ids` relation
+    with column item_id."""
+    parts = [
+        f"SELECT {j} AS depth_row, {cfg.bucket_sql(j, 'item_id')} AS bucket, "
+        f"CAST(SUM({weight_sql}) AS BIGINT) AS counter FROM ids GROUP BY 2"
+        for j in range(cfg.depth)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _duck_probe_buckets(cfg: CMSConfig = CFG) -> str:
+    """From a `probes(item, item_id)` relation -> (item, depth_row, bucket)."""
+    parts = [
+        f"SELECT item, {j} AS depth_row, {cfg.bucket_sql(j, 'item_id')} AS bucket FROM probes"
+        for j in range(cfg.depth)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_DUCK_TOKENS = (
+    "SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''"
+)
+
+
+def _duck_point_query_sql(ids_sql: str, probes_sql: str, cfg: CMSConfig = CFG) -> str:
+    return f"""
+WITH ids AS ({ids_sql}),
+probes AS ({probes_sql}),
+buckets AS ({_duck_buckets_cte('item_id', cfg)}),
+probe_buckets AS ({_duck_probe_buckets(cfg)})
+SELECT p.item AS item, CAST(MIN(COALESCE(b.counter, 0)) AS BIGINT) AS cms_estimate
+FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+GROUP BY p.item ORDER BY p.item
+"""
+
+
+# --------------------------------------------------------------------------
+# Query pairs: (spark_fn(spark, sf_dir) -> DataFrame, duckdb_sql or None)
+# --------------------------------------------------------------------------
+
+def q_cms_sketch_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full sketch matrix over lineitem.l_partkey — checks every counter
+    the distributed build produces against SQL group-by semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    return cms_table_df(li, "l_partkey", CFG).orderBy("depth_row", "bucket")
+
+
+SQL_CMS_SKETCH_TABLE = f"""
+WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem)
+SELECT CAST(depth_row AS INT) AS depth_row, bucket, counter
+FROM ({_duck_buckets_cte('item_id')})
+ORDER BY depth_row, bucket
+"""
+
+
+def q_cms_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return point_query_df(li, "l_partkey", CFG, PROBE_ITEMS).orderBy("item")
+
+
+SQL_CMS_POINT_QUERY = _duck_point_query_sql(
+    "SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem",
+    "SELECT item, item AS item_id FROM (VALUES "
+    + ", ".join(f"(CAST({x} AS BIGINT))" for x in PROBE_ITEMS)
+    + ") AS v(item)",
+)
+
+
+def q_cms_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive O(range) range query (reference semantics,
+    src/core/count_min_sketch.c:47-53): sum of point estimates over
+    [100, 110] on the l_partkey sketch."""
+    li = load(spark, sf_dir, "lineitem")
+    pts = point_query_df(li, "l_partkey", CFG, list(range(RANGE_LO, RANGE_HI + 1)))
+    return pts.agg(F.sum("cms_estimate").alias("range_sum"))
+
+
+SQL_CMS_RANGE_QUERY = f"""
+WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
+probes AS (SELECT CAST(item AS BIGINT) AS item, CAST(item AS BIGINT) AS item_id
+           FROM range({RANGE_LO}, {RANGE_HI + 1}) t(item)),
+buckets AS ({_duck_buckets_cte('item_id')}),
+probe_buckets AS ({_duck_probe_buckets()}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item
+)
+SELECT CAST(SUM(est) AS BIGINT) AS range_sum FROM pts
+"""
+
+
+def q_cms_inner_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimate |lineitem ⋈ orders on partkey=custkey-ish| —
+    cms_inner_product analog (src/core/count_min_sketch.c:65-83) between
+    the l_partkey sketch and the p_partkey sketch (same config => valid)."""
+    li = load(spark, sf_dir, "lineitem")
+    pa_ = load(spark, sf_dir, "part")
+    ta = cms_table_df(li, "l_partkey", CFG).withColumnRenamed("counter", "ca")
+    tb = cms_table_df(pa_, "p_partkey", CFG).withColumnRenamed("counter", "cb")
+    per_row = (
+        ta.join(tb, ["depth_row", "bucket"])  # missing buckets are zero products
+        .groupBy("depth_row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return per_row.agg(F.min("dot").alias("inner_product"))
+
+
+SQL_CMS_INNER_PRODUCT = f"""
+WITH ids_a AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
+ids_b AS (SELECT CAST(p_partkey AS BIGINT) AS item_id FROM part),
+ba AS (WITH ids AS (SELECT * FROM ids_a) SELECT * FROM ({_duck_buckets_cte('item_id')})),
+bb AS (WITH ids AS (SELECT * FROM ids_b) SELECT * FROM ({_duck_buckets_cte('item_id')})),
+dots AS (
+  SELECT ba.depth_row, SUM(ba.counter * bb.counter) AS dot
+  FROM ba JOIN bb USING (depth_row, bucket)
+  GROUP BY ba.depth_row
+)
+SELECT CAST(MIN(dot) AS BIGINT) AS inner_product FROM dots
+"""
+
+
+def _token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("text")
+    return docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(F.col("tok") != "")
+
+
+def q_cms_token_point_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String path: djb2(token) -> point query (cms_update_str /
+    cms_point_query_str analog, src/core/count_min_sketch.c:24-27,42-45)."""
+    toks = _token_df(spark, sf_dir)
+    return point_query_df(toks, "tok", CFG, TOKEN_PROBES, string_items=True).orderBy("item")
+
+
+SQL_CMS_TOKEN_POINT_QUERY = _duck_point_query_sql(
+    f"SELECT {djb2_sql_duckdb('tok')} AS item_id FROM ({_DUCK_TOKENS})",
+    "SELECT tok AS item, " + djb2_sql_duckdb("tok") + " AS item_id FROM (VALUES "
+    + ", ".join(f"('{t}')" for t in TOKEN_PROBES)
+    + ") AS v(tok)",
+)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: exact-distinct candidate set, CMS estimates, keep
+    est >= floor(HH_FRACTION * N). Not in the reference (SURVEY §2.8) —
+    the north-star addition, cross-checkable exactly."""
+    from ..operators.sql_build import cms_table_df as _tbl, point_query_join
+
+    toks = _token_df(spark, sf_dir)
+    n = toks.count()
+    thresh = int(HH_FRACTION * n)
+    table = _tbl(toks, "tok", CFG, string_items=True)
+    pts = point_query_join(table, toks.distinct(), "tok", CFG, probes_are_strings=True)
+    return (
+        pts.filter(F.col("cms_estimate") >= thresh)
+        .select(F.col("item").alias("token"), "cms_estimate")
+        .orderBy(F.desc("cms_estimate"), "token")
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH toks AS ({_DUCK_TOKENS}),
+n AS (SELECT COUNT(*) AS n FROM toks),
+ids AS (SELECT {djb2_sql_duckdb('tok')} AS item_id FROM toks),
+probes AS (SELECT tok AS item, {djb2_sql_duckdb('tok')} AS item_id FROM (SELECT DISTINCT tok FROM toks)),
+buckets AS ({_duck_buckets_cte('item_id')}),
+probe_buckets AS ({_duck_probe_buckets()}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item
+)
+SELECT item AS token, CAST(est AS BIGINT) AS cms_estimate
+FROM pts, n
+WHERE est >= CAST(FLOOR({HH_FRACTION} * n.n) AS BIGINT)
+ORDER BY est DESC, token
+"""
+
+
+def q_exact_oracle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's embedded exact oracles (items 123, 456, range
+    [100,110]; src/mpi/mpiV2.c:131-140) as one exact aggregation."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return li.agg(
+        F.sum(F.when(F.col("l_partkey") == 123, 1).otherwise(0)).alias("cnt_123"),
+        F.sum(F.when(F.col("l_partkey") == 456, 1).otherwise(0)).alias("cnt_456"),
+        F.sum(
+            F.when((F.col("l_partkey") >= RANGE_LO) & (F.col("l_partkey") <= RANGE_HI), 1).otherwise(0)
+        ).alias("cnt_range"),
+    )
+
+
+SQL_EXACT_ORACLE_COUNTS = f"""
+SELECT
+  CAST(SUM(CASE WHEN l_partkey = 123 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_123,
+  CAST(SUM(CASE WHEN l_partkey = 456 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_456,
+  CAST(SUM(CASE WHEN l_partkey BETWEEN {RANGE_LO} AND {RANGE_HI} THEN 1 ELSE 0 END) AS BIGINT) AS cnt_range
+FROM lineitem
+"""
+
+
+def q_exact_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ground-truth frequency table (frequency_counter.py analog,
+    reference scripts/frequency_counter.py:3-23)."""
+    toks = _token_df(spark, sf_dir)
+    return toks.groupBy(F.col("tok").alias("token")).agg(F.count("*").alias("cnt")).orderBy("token")
+
+
+SQL_EXACT_TOKEN_COUNTS = f"""
+SELECT tok AS token, COUNT(*) AS cnt FROM ({_DUCK_TOKENS}) GROUP BY tok ORDER BY tok
+"""
+
+
+CMS_QUERIES = {
+    "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
+    "cms_point_query": (q_cms_point_query, SQL_CMS_POINT_QUERY),
+    "cms_range_query": (q_cms_range_query, SQL_CMS_RANGE_QUERY),
+    "cms_inner_product": (q_cms_inner_product, SQL_CMS_INNER_PRODUCT),
+    "cms_token_point_query": (q_cms_token_point_query, SQL_CMS_TOKEN_POINT_QUERY),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "exact_oracle_counts": (q_exact_oracle_counts, SQL_EXACT_ORACLE_COUNTS),
+    "exact_token_counts": (q_exact_token_counts, SQL_EXACT_TOKEN_COUNTS),
+}

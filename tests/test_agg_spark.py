@@ -1,0 +1,115 @@
+"""Spark aggregation layer: partial sketches + tree merge must equal a
+single-pass sequential build byte-for-byte, independent of partitioning —
+the distributed-correctness core of the whole library (the property
+MPI_Reduce relies on in the reference, src/mpi/mpiV2.c:163-175)."""
+
+import numpy as np
+import pytest
+
+from parallel_count_min_sketch_spark.config import CMSConfig
+from parallel_count_min_sketch_spark.operators.agg import (
+    build_cms,
+    build_cms_from_text,
+    cms_grouped,
+    cms_partials,
+    merge_partials,
+)
+from parallel_count_min_sketch_spark.operators.sql_build import collect_cms, point_query_df
+from parallel_count_min_sketch_spark.sketches import CountMinSketch, djb2_py
+
+CFG = CMSConfig(epsilon=0.01, delta=0.1, seed=42)
+
+
+@pytest.fixture(scope="module")
+def items_df(spark):
+    rng = np.random.default_rng(12345)
+    items = rng.integers(1, 5000, size=30000).tolist()
+    return spark.createDataFrame([(int(x),) for x in items], "item BIGINT"), items
+
+
+def expected_sketch(items) -> CountMinSketch:
+    sk = CFG.new_sketch()
+    sk.update_batch(np.asarray(items, dtype=np.int64))
+    return sk
+
+
+def test_partials_one_row_per_partition(spark, items_df):
+    df, _ = items_df
+    df8 = df.repartition(8)
+    partials = cms_partials(df8, "item", CFG).collect()
+    assert len(partials) == 8
+    assert sorted(p["partition_id"] for p in partials) == list(range(8))
+    assert sum(p["rows_seen"] for p in partials) == df.count()
+
+
+def test_distributed_build_equals_sequential(spark, items_df):
+    df, items = items_df
+    exp = expected_sketch(items)
+    got = build_cms(df.repartition(8), "item", CFG)
+    assert got.total == exp.total
+    assert np.array_equal(got.table, exp.table)
+
+
+def test_partitioning_invariance(spark, items_df):
+    """Identical final sketch bytes at different parallelism — the
+    determinism-across-parallelism requirement (SURVEY §5 e2e)."""
+    df, _ = items_df
+    s2 = build_cms(df.repartition(2), "item", CFG)
+    s16 = build_cms(df.repartition(16), "item", CFG)
+    assert s2.to_bytes() == s16.to_bytes()
+
+
+def test_jvm_sql_build_matches_arrow_build(spark, items_df):
+    df, items = items_df
+    exp = expected_sketch(items)
+    got = collect_cms(df.repartition(6), "item", CFG)
+    assert got.total == exp.total
+    assert np.array_equal(got.table, exp.table)
+
+
+def test_point_query_df_matches_kernel(spark, items_df):
+    df, items = items_df
+    exp = expected_sketch(items)
+    queries = [1, 2, 777, 4999, 123456]
+    rows = point_query_df(df, "item", CFG, queries).collect()
+    got = {r["item"]: r["cms_estimate"] for r in rows}
+    kernel = exp.point_query(np.array(queries))
+    for q, k in zip(queries, kernel.tolist()):
+        assert got[q] == k
+
+
+def test_string_items_and_text_path(spark):
+    docs = [("a b c a",), ("c c d",), ("",), (None,)]
+    df = spark.createDataFrame(docs, "text STRING")
+    cfg = CMSConfig(epsilon=0.1, delta=0.1, seed=7)
+    sk = build_cms_from_text(df.repartition(3), "text", cfg)
+    exp = cfg.new_sketch()
+    exp.update_strings(["a", "b", "c", "a", "c", "c", "d"])
+    assert sk.to_bytes() == exp.to_bytes()
+    # exploded-token route agrees
+    from pyspark.sql import functions as F
+
+    tokens = df.select(F.explode(F.split(F.col("text"), " ")).alias("tok")).filter("tok != ''")
+    sk2 = build_cms(tokens, "tok", cfg, string_items=True)
+    assert sk2.to_bytes() == exp.to_bytes()
+    assert int(sk.point_query(np.array([djb2_py("c")]))[0]) >= 3
+
+
+def test_grouped_sketches(spark):
+    rows = [("en", 1), ("en", 1), ("de", 2), ("en", 3), ("de", 2), ("de", 5)]
+    df = spark.createDataFrame(rows, "lang STRING, item BIGINT").repartition(3)
+    cfg = CMSConfig(epsilon=0.1, delta=0.1, seed=9)
+    out = {r["group"]: r for r in cms_grouped(df, "lang", "item", cfg).collect()}
+    assert set(out) == {"en", "de"}
+    assert out["en"]["total"] == 3 and out["de"]["total"] == 3
+    en = CountMinSketch.from_bytes(bytes(out["en"]["sketch"]), cfg.epsilon, cfg.delta)
+    exp = cfg.new_sketch()
+    exp.update_batch(np.array([1, 1, 3]))
+    assert en.to_bytes() == exp.to_bytes()
+
+
+def test_merge_partials_large_fanin(spark, items_df):
+    df, items = items_df
+    partials = cms_partials(df.repartition(32), "item", CFG)
+    sk = merge_partials(partials, CFG, depth=3)
+    assert np.array_equal(sk.table, expected_sketch(items).table)
