@@ -1,0 +1,99 @@
+"""spark-submit entry point: the full sketch pipeline over a web-pages table.
+
+    spark-submit --master local[32] \
+        --py-files pcms_spark.zip \
+        jobs/cms_build_job.py \
+        --input /path/web_pages.parquet --output /path/out \
+        --eps 0.001 --delta 0.1 --seed 12345 \
+        [--checkpoint /path/ckpt] [--salt-partitions 256] [--path sql|arrow]
+
+Pipeline: parquet/Iceberg scan (text column pruned from html by Catalyst)
+-> optional salted repartition (defuses host/language skew before the
+sketch stage) -> CMS build (JVM Catalyst path or Arrow-kernel partials with
+per-partition checkpoint lineage) -> sketch blob + metrics written to the
+output dir. Prints one JSON metrics line to stdout.
+
+Build the --py-files archive with:
+    python -c "import shutil; shutil.make_archive('pcms_spark', 'zip', '.', 'parallel_count_min_sketch_spark')"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--eps", type=float, default=0.001)
+    ap.add_argument("--delta", type=float, default=0.1)
+    ap.add_argument("--seed", type=int, default=12345)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--salt-partitions", type=int, default=0,
+                    help="salted repartition width (0 = keep scan partitioning)")
+    ap.add_argument("--path", choices=["sql", "arrow"], default="sql")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from parallel_count_min_sketch_spark.config import CMSConfig
+    from parallel_count_min_sketch_spark.operators.agg import build_cms_from_text
+    from parallel_count_min_sketch_spark.operators.checkpoint import CheckpointedCMSBuild
+    from parallel_count_min_sketch_spark.operators.skew import salted_repartition
+    from parallel_count_min_sketch_spark.operators.sql_build import cms_table_df
+
+    spark = SparkSession.builder.appName("pcms-build").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cfg = CMSConfig(args.eps, args.delta, args.seed)
+
+    df = spark.read.parquet(args.input).select(args.text_col)
+    if args.salt_partitions:
+        df = salted_repartition(df, args.salt_partitions, seed=args.seed)
+
+    t0 = time.perf_counter()
+    if args.checkpoint:
+        build = CheckpointedCMSBuild(cfg, args.checkpoint)
+        sk = build.run(df, args.text_col, input_desc=args.input)
+        metrics = build.metrics
+    elif args.path == "arrow":
+        sk = build_cms_from_text(df, args.text_col, cfg)
+        metrics = {}
+    else:
+        toks = df.select(F.explode(F.split(args.text_col, " ")).alias("tok")) \
+            .filter(F.col("tok") != "")
+        rows = cms_table_df(toks, "tok", cfg, string_items=True).collect()
+        sk = cfg.new_sketch()
+        for r in rows:
+            sk.table[r["depth_row"], r["bucket"]] = r["counter"]
+        sk.total = int(sk.table[0].sum())
+        metrics = {}
+    wall = time.perf_counter() - t0
+
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "sketch.bin"), "wb") as f:
+        f.write(sk.to_bytes())
+    out = {
+        "path": "checkpoint-arrow" if args.checkpoint else args.path,
+        "wall_sec": round(wall, 3),
+        "total_mass": sk.total,
+        "tokens_per_sec": round(sk.total / wall, 1),
+        "depth": cfg.depth,
+        "width": cfg.width,
+        **metrics,
+    }
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,15 +75,18 @@ def _items_from_array(col: pa.Array, string_items: bool) -> np.ndarray:
 
 
 def cms_partials(df, item_col: str, cfg: CMSConfig, *, weight_col: str | None = None,
-                 string_items: bool = False):
+                 string_items: bool = False, skip_partitions: frozenset[int] | None = None):
     """DataFrame[item(, weight)] -> DataFrame[partition_id, rows_seen, total, sketch]
     with exactly one row per input partition (the per-rank partial sketch,
-    reference src/mpi/mpiV2.c:131-140)."""
+    reference src/mpi/mpiV2.c:131-140). ``skip_partitions``: checkpointed
+    partitions whose compute (and output row) is skipped on resume."""
     cols = [item_col] + ([weight_col] if weight_col else [])
     proj = df.select(*cols)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
+        if skip_partitions and _task_partition_id() in skip_partitions:
+            return
         sk = cfg.new_sketch()
         rows = 0
         for batch in batches:
@@ -108,16 +111,19 @@ def cms_partials(df, item_col: str, cfg: CMSConfig, *, weight_col: str | None = 
     return proj.mapInArrow(fold, PARTIAL_SCHEMA)
 
 
-def cms_text_partials(df, text_col: str, cfg: CMSConfig, *, sep: str = " "):
+def cms_text_partials(df, text_col: str, cfg: CMSConfig, *, sep: str = " ",
+                      skip_partitions: frozenset[int] | None = None):
     """Sketch the token stream of a text column without a JVM-side explode:
-    each Arrow batch's strings are concatenated and split once (C-speed),
-    then djb2-hashed as one vector. One partial row per partition."""
+    each Arrow batch's strings are tokenized in Arrow C kernels, then
+    djb2-hashed as one vector. One partial row per partition."""
     import pyarrow.compute as pc
 
     proj = df.select(text_col)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
+        if skip_partitions and _task_partition_id() in skip_partitions:
+            return
         sk = cfg.new_sketch()
         rows = 0
         for batch in batches:

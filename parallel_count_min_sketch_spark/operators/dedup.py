@@ -1,0 +1,158 @@
+"""Deduplication operators for training-data pipelines: exact (hash
+groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all pure-JVM
+DataFrame expressions (codegen'd, no Python in the hot path), with the
+hash constants seed-derived so DuckDB oracles replay them exactly.
+
+Scale notes (100 TB): exact dedup is one shuffle on a 128-bit digest;
+MinHash-LSH shuffles only (band_key, doc_id) pairs — candidate pairs are
+generated per LSH bucket via a self-join on the band hash, never all-pairs;
+SimHash is a narrow map. n-gram Jaccard is for verifying candidate pairs
+(quadratic only within a candidate set, here a planted pair list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..config import djb2_sql_spark
+from ..sketches.hashing import MERSENNE_PRIME, affine_params
+
+MINHASH_SEED = 4242
+DEFAULT_PERMS = 32  # 4 bands x 8 rows: P(band collision) = J^8 — near-dups
+DEFAULT_BANDS = 4   # (J~1) always collide; unrelated docs (J~0.3) at ~6e-5
+SIMHASH_BITS = 32
+
+
+def _token_set(text: str = "text") -> Column:
+    return F.array_distinct(F.filter(F.split(F.col(text), " "), lambda t: t != F.lit("")))
+
+
+def _djb2_lambda(t: Column) -> Column:
+    """djb2 mod LONG_PRIME of a token, usable inside HOF lambdas."""
+    from ..sketches.hashing import DJB2_INIT, LONG_PRIME
+
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(codes, F.lit(DJB2_INIT).cast("bigint"),
+                       lambda h, c: (h * 33 + c) % F.lit(LONG_PRIME))
+
+
+def token_id_set(text: str = "text") -> Column:
+    """array<bigint> of distinct token ids (djb2) — the doc's shingle set."""
+    return F.transform(_token_set(text), _djb2_lambda)
+
+
+def minhash_signature(text: str = "text", *, num_perms: int = DEFAULT_PERMS,
+                      seed: int = MINHASH_SEED) -> Column:
+    """array<bigint>[num_perms]: min over the token-id set of each seeded
+    affine permutation (a_j*x+b_j mod p) — the standard MinHash estimator
+    of Jaccard similarity."""
+    a, b = affine_params(seed, num_perms)
+    ids = token_id_set(text)
+
+    def _perm(aj: int, bj: int):
+        # closure factory: PySpark infers HOF arity from the lambda signature,
+        # so extra default args would break it
+        return lambda x: (F.lit(aj) * (x % MERSENNE_PRIME) + F.lit(bj)) % MERSENNE_PRIME
+
+    sigs = [
+        F.array_min(F.transform(ids, _perm(int(a[j]), int(b[j]))))
+        for j in range(num_perms)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_long(df: DataFrame, id_col: str, text: str = "text", *,
+                 num_perms: int = DEFAULT_PERMS, seed: int = MINHASH_SEED) -> DataFrame:
+    """(id, perm, minhash) long format — one row per permutation."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(minhash_signature(text, num_perms=num_perms, seed=seed))
+        .alias("perm", "minhash"),
+    )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
+                        num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
+                        seed: int = MINHASH_SEED) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, hash each band,
+    self-join on (band, band_key). Returns distinct (id_a, id_b), a < b.
+
+    The only shuffle is on the band key; a bucket of size s yields s^2
+    pairs locally — the standard LSH trade of recall vs bucket width."""
+    rows_per_band = num_perms // bands
+    sig = minhash_signature(text, num_perms=num_perms, seed=seed)
+    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    band_rows = banded.select(
+        "_id",
+        F.posexplode(
+            F.array(*[
+                # band key: fold the band's minhashes into one bigint
+                F.aggregate(
+                    F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: (acc * 1_000_003 + x) % MERSENNE_PRIME,
+                )
+                for i in range(bands)
+            ])
+        ).alias("band", "band_key"),
+    )
+    left = band_rows.select(F.col("band"), F.col("band_key"), F.col("_id").alias("id_a"))
+    right = band_rows.select(F.col("band"), F.col("band_key"), F.col("_id").alias("id_b"))
+    pairs = (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(text: str = "text", *, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint: bit i is the sign of sum over distinct tokens
+    of +/-1 by bit i of the token id. Near-dup docs differ in few bits."""
+    ids = token_id_set(text)
+
+    def _vote(sh: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, sh).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for i in range(bits):
+        vote = F.aggregate(ids, F.lit(0).cast("bigint"), _vote(i))
+        bit_cols.append(F.when(vote > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def ngram_set(text: str = "text", n: int = 3) -> Column:
+    """Distinct token n-grams (joined with 0x1f) — shingles for Jaccard."""
+    toks = F.filter(F.split(F.col(text), " "), lambda t: t != F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), "\x1f"),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_bp(set_a: Column, set_b: Column) -> Column:
+    """Jaccard similarity in basis points (floored) — integer-exact."""
+    inter = F.size(F.array_intersect(set_a, set_b)).cast("bigint")
+    union = F.size(F.array_union(set_a, set_b)).cast("bigint")
+    return F.floor(inter * 10000.0 / F.greatest(union, F.lit(1))).cast("bigint")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """Exact dedup: md5 digest groupBy; returns digests with >1 distinct doc
+    and the canonical (min) keeper id — the standard keep-one policy."""
+    hashed = df.select(F.col(id_col).alias("_id"), F.md5(F.col(text)).alias("digest"))
+    return (
+        hashed.groupBy("digest")
+        .agg(F.countDistinct("_id").alias("n_docs"), F.min("_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,92 @@
+"""Scalable heavy hitters: CMS + per-partition candidate tracking.
+
+The exact-distinct candidate pass used by the small-scale query
+(plans/cms_queries.q_cms_heavy_hitters) shuffles every distinct token —
+fine at test scale, wrong at 100 TB. This operator keeps the shuffle at
+O(partitions x k):
+
+  stage 1: each partition counts its own tokens exactly (np.unique on the
+           local batch stream) and emits its top-k as candidates;
+  stage 2: union + distinct of candidates (tiny), CMS point query via the
+           broadcast sketch-table join, filter est >= phi*N.
+
+Guarantee: with k >= 1/phi, any item with global share >= phi has share
+>= phi in at least one partition (pigeonhole on the weighted average),
+so every true heavy hitter is a candidate; CMS one-sidedness then keeps
+it through the filter — no false negatives. False positives are bounded
+by the CMS eps as usual.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CMSConfig
+from ..memtune import tune_allocator
+from .sql_build import cms_table_df, point_query_join
+
+CAND_SCHEMA = "token STRING, local_count LONG"
+
+
+def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " "):
+    """Per-partition exact top-k tokens (one small row set per partition)."""
+    import pyarrow.compute as pc
+
+    proj = df.select(text_col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        counts: dict[str, int] = {}
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            toks = pc.list_flatten(pc.split_pattern(col, sep))
+            if len(toks) == 0:
+                continue
+            vc = pc.value_counts(toks)
+            for item in vc:
+                t = item["values"].as_py()
+                if t:
+                    counts[t] = counts.get(t, 0) + item["counts"].as_py()
+        if counts:
+            top = heapq.nlargest(k_per_partition, counts.items(), key=lambda kv: (kv[1], kv[0]))
+            yield pa.RecordBatch.from_pydict(
+                {"token": [t for t, _ in top], "local_count": [c for _, c in top]},
+                schema=pa.schema([("token", pa.string()), ("local_count", pa.int64())]),
+            )
+
+    return proj.mapInArrow(fold, CAND_SCHEMA)
+
+
+def heavy_hitters_scalable(df, text_col: str, cfg: CMSConfig, phi: float, *,
+                           k_per_partition: int | None = None) -> DataFrame:
+    """(token, cms_estimate) for every candidate with estimate >= phi*N.
+
+    One pass builds the sketch (JVM path), one cheap pass collects
+    candidates; both read the same scan. N is the sketch's total mass.
+    """
+    if k_per_partition is None:
+        k_per_partition = max(16, int(2.0 / phi))
+    toks = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    table = cms_table_df(toks, "tok", cfg, string_items=True)
+    table.cache()
+    n = (
+        table.filter(F.col("depth_row") == 0)
+        .agg(F.sum("counter").alias("n")).collect()[0]["n"]
+    )
+    thresh = int(phi * n)
+    cands = candidate_tokens(df, text_col, k_per_partition) \
+        .select("token").distinct()
+    ests = point_query_join(table, cands, "token", cfg, probes_are_strings=True)
+    out = (
+        ests.filter(F.col("cms_estimate") >= thresh)
+        .select(F.col("item").alias("token"), "cms_estimate")
+        .orderBy(F.desc("cms_estimate"), "token")
+    )
+    return out

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers:
+- ``cosine_topk``      brute-force exact top-k: broadcast the (small) query
+                       set, JVM zip_with/aggregate dot products, window
+                       rank. The 100 TB story: the corpus side streams;
+                       only queries are broadcast; one narrow shuffle for
+                       the per-query top-k.
+- ``cosine_topk_pandas`` same semantics through a vectorized Arrow kernel
+                       (numpy matmul per batch) — the fast path when the
+                       query set is hundreds+ (matmul beats per-row exprs).
+- ``lsh_ann_topk``     random-hyperplane LSH: seed-derived planes, sign-bit
+                       bucket key, candidates only within the probe's
+                       bucket — the sublinear scale path (recall tested
+                       vs brute force in pytest).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..memtune import tune_allocator
+from ..sketches.hashing import MERSENNE_PRIME, affine_params
+
+LSH_SEED = 7171
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
+                k: int = 5) -> DataFrame:
+    """Exact brute-force cosine top-k -> (query_id, rank, neighbor_id,
+    cosine_bp). Self-matches excluded; cosine reported in basis points."""
+    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    qdf = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    joined = base.join(F.broadcast(qdf), F.col("nid") != F.col("qid"))
+    sim = (_dot(F.col("qvec"), F.col("nvec"))
+           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    scored = joined.select("qid", "nid", sim)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.floor(F.col("cos") * 10000.0).cast("bigint").alias("cosine_bp"),
+        )
+    )
+
+
+def cosine_topk_pandas(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
+                       k: int = 5) -> DataFrame:
+    """Same result via a vectorized Arrow kernel: per-batch numpy matmul
+    against the broadcast query matrix, local top-k per batch, global top-k
+    in a tiny final aggregation."""
+    spark = df.sparkSession
+    qrows = df.filter(F.col(id_col).isin(query_ids)) \
+        .select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = "query_id LONG, neighbor_id LONG, cos DOUBLE"
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        qids_l, qmat_l = bq.value
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column(1)
+            mat = np.array(flat.to_pylist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat /= norms
+            sims = qmat_l @ mat.T  # (nq, batch)
+            # local top-k per query within the batch
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q, rows_n, rows_c = [], [], []
+            for qi in range(len(qids_l)):
+                for j in idx[qi]:
+                    if ids[j] != qids_l[qi]:
+                        rows_q.append(int(qids_l[qi]))
+                        rows_n.append(int(ids[j]))
+                        rows_c.append(float(sims[qi, j]))
+            yield pa.RecordBatch.from_pydict(
+                {"query_id": rows_q, "neighbor_id": rows_n, "cos": rows_c},
+                schema=pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+                                  ("cos", pa.float64())]),
+            )
+
+    local = df.select(id_col, vec_col).mapInArrow(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("neighbor_id"),
+                F.floor(F.col("cos") * 10000.0).cast("bigint").alias("cosine_bp"))
+    )
+
+
+def _plane_expr(plane: int, dim: int, vec_col: str):
+    """Deterministic pseudo-random hyperplane component from the seeded
+    affine family: p(plane, d) in [-0.5, 0.5)."""
+    a, b = affine_params(LSH_SEED, 1)
+    aj, bj = int(a[0]), int(b[0])
+
+    def comp(d: int):
+        key = plane * 4099 + d
+        h = (aj * (key % MERSENNE_PRIME) + bj) % MERSENNE_PRIME
+        return h / MERSENNE_PRIME - 0.5
+
+    return [comp(d) for d in range(dim)]
+
+
+def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8):
+    """Sign-bit bucket key from n seeded hyperplanes (JVM expression)."""
+    key = F.lit(0).cast("bigint")
+    for i in range(n_planes):
+        plane = _plane_expr(i, dim, vec_col)
+        dot = F.lit(0.0)
+        for d, w in enumerate(plane):
+            dot = dot + F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(w)
+        key = key + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return key
+
+
+def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
+                 dim: int, k: int = 5, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine within the bucket. Sublinear at scale (bucket join
+    instead of full scan); recall vs brute force asserted in tests."""
+    bucketed = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+        lsh_bucket(vec_col, dim, n_planes).alias("bucket"),
+    )
+    qdf = bucketed.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("nvec").alias("qvec"), F.col("bucket")
+    )
+    joined = bucketed.join(F.broadcast(qdf), "bucket").filter(F.col("nid") != F.col("qid"))
+    sim = (_dot(F.col("qvec"), F.col("nvec"))
+           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    scored = joined.select("qid", "nid", sim)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank",
+                F.col("nid").alias("neighbor_id"),
+                F.floor(F.col("cos") * 10000.0).cast("bigint").alias("cosine_bp"))
+    )

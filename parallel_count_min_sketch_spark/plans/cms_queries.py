@@ -248,7 +248,18 @@ SELECT tok AS token, COUNT(*) AS cnt FROM ({_DUCK_TOKENS}) GROUP BY tok ORDER BY
 """
 
 
+def q_cms_heavy_hitters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path heavy hitters: per-partition candidate tracking instead of
+    a global distinct (rows-only check; the superset-of-true-HH guarantee is
+    asserted in pytest)."""
+    from ..operators.heavy_hitters import heavy_hitters_scalable
+
+    docs = load(spark, sf_dir, "documents")
+    return heavy_hitters_scalable(docs, "text", CFG, HH_FRACTION)
+
+
 CMS_QUERIES = {
+    "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, None),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
     "cms_point_query": (q_cms_point_query, SQL_CMS_POINT_QUERY),
     "cms_range_query": (q_cms_range_query, SQL_CMS_RANGE_QUERY),

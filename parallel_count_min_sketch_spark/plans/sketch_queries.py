@@ -162,7 +162,84 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q DOUBLE, tdigest_value DOUBLE").orderBy("q")
 
 
+def q_cms_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One CMS per language over document tokens (the grouped two-phase
+    Arrow path), each probed for token 'key' — group totals and estimates
+    replayed exactly by the SQL oracle."""
+    import pyspark.sql.functions as F
+
+    from ..config import CMSConfig
+    from ..operators.agg import cms_grouped
+    from ..sketches.cms import CountMinSketch
+    from ..sketches.hashing import djb2_py
+
+    cfg = CMSConfig(epsilon=0.001, delta=0.1, seed=12345)
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    grouped = cms_grouped(toks, "lang", "tok", cfg, string_items=True).collect()
+    probe = np.int64(djb2_py("key"))
+    rows = []
+    for r in grouped:
+        sk = CountMinSketch.from_bytes(bytes(r["sketch"]), cfg.epsilon, cfg.delta)
+        rows.append((r["group"], int(r["total"]), int(sk.point_query(probe)[0])))
+    return spark.createDataFrame(
+        rows, "lang STRING, total_tokens BIGINT, est_key BIGINT"
+    ).orderBy("lang")
+
+
+def _sql_cms_grouped() -> str:
+    from ..config import CMSConfig
+
+    cfg = CMSConfig(epsilon=0.001, delta=0.1, seed=12345)
+    bucket_cols = " UNION ALL ".join(
+        f"SELECT lang, {j} AS depth_row, {cfg.bucket_sql(j, 'item_id')} AS bucket, "
+        f"CAST(COUNT(*) AS BIGINT) AS counter FROM ids GROUP BY 1, 3"
+        for j in range(cfg.depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {j} AS depth_row, {cfg.bucket_sql(j, djb2_sql_duckdb_local('__probe__'))} AS bucket"
+        for j in range(cfg.depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+ids AS (SELECT lang, {djb2_sql_duckdb_local('tok')} AS item_id FROM toks),
+buckets AS ({bucket_cols}),
+probes AS ({probe_rows}),
+lang_probes AS (
+  SELECT l.lang, p.depth_row, p.bucket
+  FROM (SELECT DISTINCT lang FROM toks) l CROSS JOIN probes p
+),
+ests AS (
+  SELECT lp.lang, MIN(COALESCE(b.counter, 0)) AS est
+  FROM lang_probes lp LEFT JOIN buckets b
+    ON b.lang = lp.lang AND b.depth_row = lp.depth_row AND b.bucket = lp.bucket
+  GROUP BY lp.lang
+),
+totals AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks GROUP BY 1)
+SELECT t.lang AS lang, t.total_tokens,
+       CAST(COALESCE(e.est, 0) AS BIGINT) AS est_key
+FROM totals t LEFT JOIN ests e USING (lang)
+ORDER BY lang
+"""
+
+
+def djb2_sql_duckdb_local(expr: str) -> str:
+    from ..config import djb2_sql_duckdb
+    from ..sketches.hashing import djb2_py
+
+    if expr == "__probe__":
+        return f"CAST({djb2_py('key')} AS BIGINT)"
+    return djb2_sql_duckdb(expr)
+
+
 SKETCH_QUERIES = {
+    "cms_grouped_by_lang": (q_cms_grouped_by_lang, _sql_cms_grouped()),
     "hll_registers": (q_hll_registers, _hll_sql()),
     "hll_distinct": (q_hll_distinct, None),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),

@@ -1,0 +1,309 @@
+"""Driver-contract queries for the training-data pipeline operators:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis
+(token stats, quality, language-ID, fingerprints), similarity search,
+event windowing, binary-column plumbing. DuckDB oracles replay the exact
+integer arithmetic (seed-derived constants baked into the SQL).
+
+Duplicate documents are PLANTED deterministically (union with a filtered
+self-copy under shifted ids) so dedup queries have non-trivial answers on
+the pristine test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import textstats as ts
+from ..operators import dedup as dd
+from ..operators.similarity import cosine_topk
+from ..sketches.hashing import LONG_PRIME, MERSENNE_PRIME, affine_params
+from ..sources.tables import load
+from ..config import djb2_sql_duckdb
+
+DUP_OFFSET = 1_000_000  # planted duplicates: doc_id + offset, same text
+KNN_QUERIES = [0, 1, 2]
+KNN_K = 5
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0) \
+        .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
+    return docs.unionByName(dups)
+
+
+_DUCK_DOCS_WITH_DUPS = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.n_tokens("text").alias("n_tokens"),
+        ts.avg_token_len_bp("text").alias("avg_token_len_bp"),
+        ts.stopword_ratio_bp("text").alias("stopword_ratio_bp"),
+        ts.quality_score_bp("text").alias("quality_score_bp"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       {ts.duck_n_tokens('text')} AS n_tokens,
+       {ts.duck_avg_token_len_bp('text')} AS avg_token_len_bp,
+       {ts.duck_stopword_ratio_bp('text')} AS stopword_ratio_bp,
+       {ts.duck_quality_score_bp('text')} AS quality_score_bp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.lang_id_pred("text").alias("pred_lang")).orderBy("doc_id")
+
+
+SQL_LANG_ID = f"""
+SELECT doc_id, {ts.duck_lang_id_pred('text')} AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", ts.doc_fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, {ts.duck_doc_fingerprint('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    return dd.exact_dup_groups(docs, "doc_id").orderBy("digest")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH docs AS ({_DUCK_DOCS_WITH_DUPS})
+SELECT md5(text) AS digest,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM docs GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY digest
+"""
+
+
+def _duck_token_ids(text_expr: str) -> str:
+    return (
+        f"list_transform(list_distinct(list_filter(string_split({text_expr}, ' '), t -> t <> '')), "
+        f"t -> list_reduce(list_prepend(CAST(5381 AS BIGINT), "
+        f"list_transform(range(1, length(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))), "
+        f"(h, c) -> (h * 33 + c) % {LONG_PRIME}))"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.minhash_long(docs, "doc_id").orderBy("doc_id", "perm")
+
+
+def _sql_minhash() -> str:
+    a, b = affine_params(dd.MINHASH_SEED, dd.DEFAULT_PERMS)
+    perms = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS perm, "
+        f"list_min(list_transform(ids, x -> ({int(a[j])} * (x % {MERSENNE_PRIME}) + {int(b[j])}) % {MERSENNE_PRIME})) AS minhash "
+        f"FROM with_ids"
+        for j in range(dd.DEFAULT_PERMS)
+    )
+    return f"""
+WITH with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM documents)
+SELECT doc_id, CAST(perm AS INT) AS perm, minhash FROM ({perms})
+ORDER BY doc_id, perm
+"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    return dd.lsh_candidate_pairs(docs, "doc_id").orderBy("id_a", "id_b")
+
+
+def _sql_lsh_pairs() -> str:
+    a, b = affine_params(dd.MINHASH_SEED, dd.DEFAULT_PERMS)
+    rows_per_band = dd.DEFAULT_PERMS // dd.DEFAULT_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(ids, x -> ({int(a[j])} * (x % {MERSENNE_PRIME}) + {int(b[j])}) % {MERSENNE_PRIME})) AS s{j}"
+        for j in range(dd.DEFAULT_PERMS)
+    )
+    band_keys = []
+    for i in range(dd.DEFAULT_BANDS):
+        expr = "CAST(0 AS BIGINT)"
+        for j in range(i * rows_per_band, (i + 1) * rows_per_band):
+            expr = f"(({expr}) * 1000003 + s{j}) % {MERSENNE_PRIME}"
+        band_keys.append(f"SELECT doc_id, {i} AS band, {expr} AS band_key FROM sigs")
+    return f"""
+WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
+with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM docs),
+sigs AS (SELECT doc_id, {sig_cols} FROM with_ids),
+bands AS ({' UNION ALL '.join(band_keys)})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+WHERE l.doc_id < r.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", dd.simhash("text").alias("simhash")).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(ids, x -> CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM documents)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM with_ids ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard over adjacent-doc pairs (verification-style pairwise
+    similarity on a candidate list)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id_a"), dd.ngram_set("text").alias("set_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("join_id"),
+                    F.col("doc_id").alias("id_b"), dd.ngram_set("text").alias("set_b"))
+    pairs = a.join(b, a.id_a == b.join_id)
+    return pairs.select(
+        "id_a", "id_b", dd.jaccard_bp(F.col("set_a"), F.col("set_b")).alias("jaccard_bp")
+    ).orderBy("id_a")
+
+
+def _sql_ngram_jaccard() -> str:
+    grams = (
+        "list_distinct(list_transform("
+        "range(1, GREATEST(len(toks) - 2, 0) + 1), "
+        "i -> array_to_string(list_slice(toks, i, i + 2), CHR(31))))"
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents
+),
+sets AS (SELECT doc_id, {grams} AS grams FROM toked),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+  FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 7 = 0
+)
+SELECT id_a, id_b,
+       CAST(FLOOR(len(list_intersect(ga, gb)) * 10000.0 /
+            GREATEST(len(list_distinct(list_concat(ga, gb))), 1)) AS BIGINT) AS jaccard_bp
+FROM pairs ORDER BY id_a
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search / events / binary
+# ---------------------------------------------------------------------------
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, "vec_id", "embedding", KNN_QUERIES, KNN_K) \
+        .orderBy("query_id", "rank")
+
+
+SQL_EMBEDDING_KNN = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(str(x) for x in KNN_QUERIES)})
+),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_dot_product(q.qvec, e.embedding) /
+         (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       CAST(FLOOR(cos * 10000.0) AS BIGINT) AS cosine_bp
+FROM ranked WHERE rank <= {KNN_K} ORDER BY query_id, rank
+"""
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts by event type — the batch expression
+    of the streaming aggregation (streaming/ runs the same plan on a
+    stream)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.floor(F.sum("value") * 100).cast("bigint").alias("sum_value_cents"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+                "event_type", "cnt", "sum_value_cents")
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+       event_type,
+       COUNT(*) AS cnt,
+       CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat text re-encoded as an opaque binary blob,
+    extract typed metadata (length, magic sniff) — decode itself is the
+    stubbed step in multimodal/."""
+    docs = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("byte_len"),
+        (F.substring(F.col("text"), 1, 1) == F.lit("k")).alias("magic_k"),
+    ).orderBy("doc_id")
+
+
+SQL_BINARY_METADATA = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       (substring(text, 1, 1) = 'k') AS magic_k
+FROM documents ORDER BY doc_id
+"""
+
+
+TEXTDATA_QUERIES = {
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
+    "lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),
+    "simhash": (q_simhash, _sql_simhash()),
+    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+    "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
+}

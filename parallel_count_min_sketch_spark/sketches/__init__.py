@@ -1,10 +1,19 @@
+from .bloom import BloomFilter, bloom_dims
 from .cms import CountMinSketch, dims
 from .hashing import LONG_PRIME, MERSENNE_PRIME, affine_hash, affine_params, djb2_batch, djb2_py
+from .hll import HyperLogLog
+from .kll import KLLSketch
 from .reference_cms import SequentialCMS
+from .tdigest import TDigest
 
 __all__ = [
+    "BloomFilter",
     "CountMinSketch",
+    "HyperLogLog",
+    "KLLSketch",
     "SequentialCMS",
+    "TDigest",
+    "bloom_dims",
     "dims",
     "affine_hash",
     "affine_params",

@@ -56,21 +56,45 @@ def token_expr(page_expr: str, pos_expr: str, seed: int) -> str:
     )
 
 
+def pareto_token_expr(page_expr: str, pos_expr: str, seed: int) -> str:
+    """Pareto(alpha=2)-skewed token ids clipped to [0, 9999] — the
+    reference's skewed generator (scripts/dataset_generator.py:6-12):
+    inverse-transform sampling, id = floor(1/sqrt(1-u)) - 1."""
+    x = f"(({page_expr}) * 1024 + ({pos_expr}))"
+    u = _u01(x, 6, seed)
+    vid = f"LEAST(CAST(FLOOR(1.0 / sqrt(1.0 - LEAST({u}, 0.99999999))) AS BIGINT) - 1, 9999)"
+    return f"concat('tok', CAST({vid} AS STRING))"
+
+
 def web_pages(spark: SparkSession, n_pages: int, *, seed: int = DEFAULT_SEED,
               partitions: int | None = None,
-              min_tokens: int = 20, max_tokens: int = 200) -> DataFrame:
+              min_tokens: int = 20, max_tokens: int = 200,
+              token_dist: str = "mixture") -> DataFrame:
+    """token_dist='mixture' (F1, planted heavy hitters) or 'pareto'
+    (F4: Pareto-skewed tokens + 80% of pages on 3 hosts — the heavy-skew
+    fixture for salted-repartition and heavy-hitter stress tests)."""
     df = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     pid = "id"
     n_tok = f"({min_tokens} + ({_u(pid, 3, seed)} % {max_tokens - min_tokens + 1}))"
-    # host skew: cube the uniform -> a few dominant hosts (FIXTURES F1)
-    host = f"CAST({N_HOSTS}.0 * pow({_u01(pid, 4, seed)}, 3.0) AS BIGINT)"
+    if token_dist == "pareto":
+        # 80% of pages concentrated on 3 hosts (FIXTURES F4)
+        hu = _u01(pid, 4, seed)
+        host = (f"CASE WHEN {hu} < 0.8 THEN CAST({_u(pid, 7, seed)} % 3 AS BIGINT) "
+                f"ELSE CAST(3 + ({_u(pid, 8, seed)} % {N_HOSTS - 3}) AS BIGINT) END")
+        tok = pareto_token_expr(pid, "pos", seed)
+    elif token_dist == "mixture":
+        # host skew: cube the uniform -> a few dominant hosts (FIXTURES F1)
+        host = f"CAST({N_HOSTS}.0 * pow({_u01(pid, 4, seed)}, 3.0) AS BIGINT)"
+        tok = token_expr(pid, "pos", seed)
+    else:
+        raise ValueError(f"unknown token_dist {token_dist!r}")
     lang_u = _u01(pid, 5, seed)
     lang = "CASE " + " ".join(
         f"WHEN {lang_u} < {c} THEN '{l}'" for c, l in zip(LANG_CUM, LANGS)
     ) + " END"
     text = (
         f"array_join(transform(sequence(0, {n_tok} - 1), "
-        f"pos -> {token_expr(pid, 'pos', seed)}), ' ')"
+        f"pos -> {tok}), ' ')"
     )
     out = df.select(
         F.expr(f"concat('https://host', {host}, '.example/page', id)").alias("url"),

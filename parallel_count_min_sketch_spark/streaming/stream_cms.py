@@ -1,0 +1,82 @@
+"""Structured Streaming sketch accumulation.
+
+The CMS is a streaming-native structure: merge associativity means a
+stream build is just per-micro-batch partials merged into a running
+sketch. ``StreamingCMS`` wires that through ``foreachBatch``:
+
+    readStream -> foreachBatch(batch_df -> partial sketches -> merge into
+    running sketch, persist running sketch blob atomically)
+
+The running sketch survives driver restarts through its own tiny
+checkpoint blob (plus Spark's source checkpoint for exactly-once source
+progress). Late data needs no special handling for global counts; the
+windowed variant (``windowed_token_counts``) shows the watermarked
+event-time aggregation path with Spark built-ins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CMSConfig
+from ..operators.agg import cms_text_partials
+from ..sketches.cms import CountMinSketch
+
+
+class StreamingCMS:
+    """Accumulates a CMS over a streaming text column via foreachBatch."""
+
+    def __init__(self, cfg: CMSConfig, text_col: str = "text",
+                 state_path: str | None = None):
+        self.cfg = cfg
+        self.text_col = text_col
+        self.state_path = state_path
+        self.sketch = self._load_state() or cfg.new_sketch()
+        self.batches_seen = 0
+
+    def _load_state(self) -> CountMinSketch | None:
+        if self.state_path and os.path.exists(self.state_path):
+            with open(self.state_path, "rb") as f:
+                return CountMinSketch.from_bytes(f.read(), self.cfg.epsilon, self.cfg.delta)
+        return None
+
+    def _save_state(self) -> None:
+        if not self.state_path:
+            return
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.sketch.to_bytes())
+        os.replace(tmp, self.state_path)  # atomic on POSIX
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        partials = cms_text_partials(batch_df, self.text_col, self.cfg).collect()
+        for row in partials:
+            self.sketch.merge(
+                CountMinSketch.from_bytes(bytes(row["sketch"]), self.cfg.epsilon, self.cfg.delta)
+            )
+        self.batches_seen += 1
+        self._save_state()
+
+    def start(self, stream_df: DataFrame, checkpoint_dir: str, *,
+              trigger_once: bool = False):
+        writer = stream_df.writeStream.foreachBatch(self.process_batch) \
+            .option("checkpointLocation", checkpoint_dir).outputMode("update")
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_token_counts(stream_df: DataFrame, *, ts_col: str = "ts",
+                          text_col: str = "text", window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked event-time windowed token counts — the pure-built-in
+    streaming aggregation (late data beyond the watermark is dropped;
+    within it, windows update incrementally)."""
+    toks = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(ts_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return toks.groupBy(F.window(ts_col, window), "tok").count()

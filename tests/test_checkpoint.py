@@ -1,0 +1,76 @@
+"""Checkpoint/lineage/resume: a resumed build must be bit-identical to an
+uninterrupted one, recomputing only the missing partitions."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from parallel_count_min_sketch_spark.config import CMSConfig
+from parallel_count_min_sketch_spark.operators.agg import build_cms_from_text
+from parallel_count_min_sketch_spark.operators.checkpoint import CheckpointedCMSBuild
+from parallel_count_min_sketch_spark.sources.web_pages import web_pages
+
+CFG = CMSConfig(epsilon=0.01, delta=0.1, seed=21)
+
+
+@pytest.fixture()
+def ckpt_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def test_full_build_writes_lineage_and_matches_direct(spark, ckpt_dir):
+    df = web_pages(spark, 400, seed=3, partitions=6)
+    build = CheckpointedCMSBuild(CFG, ckpt_dir)
+    sk = build.run(df, "text", input_desc="web_pages(400, seed=3)")
+    direct = build_cms_from_text(df, "text", CFG)
+    assert sk.to_bytes() == direct.to_bytes()
+    assert build.metrics["n_partitions"] == 6
+    assert build.metrics["partitions_computed"] == 6
+    assert build.metrics["rows_seen"] == sk.total
+    assert os.path.exists(os.path.join(ckpt_dir, "meta.json"))
+
+
+def test_resume_after_partial_loss(spark, ckpt_dir):
+    """Simulate executor loss: drop some partials from the checkpoint,
+    resume, and verify only the missing partitions are recomputed and the
+    merged result is unchanged."""
+    df = web_pages(spark, 400, seed=3, partitions=6)
+    build = CheckpointedCMSBuild(CFG, ckpt_dir)
+    sk_full = build.run(df, "text")
+
+    # knock out some completed partitions by rewriting the partials dir
+    partials = spark.read.parquet(os.path.join(ckpt_dir, "partials"))
+    kept = partials.filter("partition_id NOT IN (1, 4)").collect()
+    shutil.rmtree(os.path.join(ckpt_dir, "partials"))
+    spark.createDataFrame(kept, partials.schema).write.parquet(
+        os.path.join(ckpt_dir, "partials")
+    )
+
+    resumed = CheckpointedCMSBuild(CFG, ckpt_dir)
+    sk2 = resumed.run(df, "text")
+    assert resumed.metrics["partitions_skipped"] == 4
+    assert resumed.metrics["partitions_computed"] == 2
+    assert sk2.to_bytes() == sk_full.to_bytes()
+
+
+def test_noop_resume_recomputes_nothing(spark, ckpt_dir):
+    df = web_pages(spark, 200, seed=5, partitions=4)
+    CheckpointedCMSBuild(CFG, ckpt_dir).run(df, "text")
+    again = CheckpointedCMSBuild(CFG, ckpt_dir)
+    sk = again.run(df, "text")
+    assert again.metrics["partitions_computed"] == 0
+    assert again.metrics["partitions_skipped"] == 4
+    assert sk.total > 0
+
+
+def test_config_mismatch_rejected(spark, ckpt_dir):
+    df = web_pages(spark, 200, seed=5, partitions=4)
+    CheckpointedCMSBuild(CFG, ckpt_dir).run(df, "text")
+    other = CMSConfig(epsilon=0.01, delta=0.1, seed=999)
+    with pytest.raises(ValueError, match="different config"):
+        CheckpointedCMSBuild(other, ckpt_dir).run(df, "text")
+    # and a different partitioning is rejected too
+    with pytest.raises(ValueError, match="different config"):
+        CheckpointedCMSBuild(CFG, ckpt_dir).run(df.repartition(3), "text")

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: the properties that make the engine hold
+at 100 TB — column pruning into the scan, broadcast joins for sketch
+probes, map-side partial aggregation, whole-stage codegen — asserted on
+the actual optimized plans, not assumed."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_count_min_sketch_spark.config import CMSConfig
+from parallel_count_min_sketch_spark.operators.agg import cms_text_partials
+from parallel_count_min_sketch_spark.operators.sql_build import cms_table_df, point_query_df
+from parallel_count_min_sketch_spark.sources.web_pages import web_pages
+
+CFG = CMSConfig(epsilon=0.01, delta=0.1, seed=3)
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    web_pages(spark, 300, seed=2, partitions=2).write.parquet(p)
+    return p
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes the physical plan only at execution time
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_sketch_build_prunes_html_from_scan(spark, pages_path):
+    """The fat html:binary column must never be read for a text sketch."""
+    df = spark.read.parquet(pages_path)
+    partials = cms_text_partials(df, "text", CFG)
+    plan = _plan(partials)
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m, plan
+    assert "html" not in m.group(1), f"html not pruned: {m.group(1)}"
+    assert "text" in m.group(1)
+
+
+def test_sql_build_uses_partial_aggregation(spark, pages_path):
+    """Catalyst must plan partial (map-side) + final hash aggregation —
+    the shuffle then carries at most depth*width rows per partition."""
+    df = spark.read.parquet(pages_path)
+    toks = df.select(F.explode(F.split("text", " ")).alias("tok")).filter("tok != ''")
+    plan = _plan(cms_table_df(toks, "tok", CFG, string_items=True), execute=True)
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+    assert "partial_sum" in plan, plan
+    # codegen active on the aggregation: WholeStageCodegen spans render as
+    # "*(n) " prefixes in the final AQE plan string
+    assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_point_query_broadcasts_sketch_table(spark, pages_path):
+    """Probing must broadcast the tiny sketch table, never shuffle it."""
+    df = spark.read.parquet(pages_path)
+    toks = df.select(F.explode(F.split("text", " ")).alias("tok")).filter("tok != ''")
+    q = point_query_df(toks, "tok", CFG, ["tok123", "zzz"], string_items=True)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partials_single_pass_no_shuffle_before_udf(spark, pages_path):
+    """The Arrow partial stage must consume the scan directly — no exchange
+    between the file scan and the fold UDF (one pass over the data)."""
+    df = spark.read.parquet(pages_path)
+    partials = cms_text_partials(df, "text", CFG)
+    plan = _plan(partials)
+    udf_pos = plan.find("MapInArrow")
+    assert udf_pos != -1, plan
+    below = plan[udf_pos:]
+    assert "Exchange" not in below, f"shuffle below the partial UDF:\n{plan}"

@@ -1,0 +1,97 @@
+"""Structured Streaming: the stream-accumulated CMS must equal the batch
+build over the same data, survive a restart from its state blob, and the
+windowed aggregation must match the batch expression."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_count_min_sketch_spark.config import CMSConfig
+from parallel_count_min_sketch_spark.operators.agg import build_cms_from_text
+from parallel_count_min_sketch_spark.sources.web_pages import web_pages
+from parallel_count_min_sketch_spark.streaming.stream_cms import (
+    StreamingCMS,
+    windowed_token_counts,
+)
+
+CFG = CMSConfig(epsilon=0.01, delta=0.1, seed=8)
+
+
+@pytest.fixture()
+def staged_pages(spark, tmp_path):
+    """Two parquet files in a dir, acting as a file-stream source."""
+    src = str(tmp_path / "incoming")
+    a = web_pages(spark, 200, seed=11, partitions=1)
+    b = web_pages(spark, 150, seed=12, partitions=1)
+    a.write.mode("append").parquet(src)
+    b.write.mode("append").parquet(src)
+    both = a.unionByName(b)
+    return src, both, a, b
+
+
+def test_stream_build_equals_batch_build(spark, tmp_path, staged_pages):
+    src, both, _, _ = staged_pages
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .parquet(src)
+    )
+    acc = StreamingCMS(CFG, "text", state_path=str(tmp_path / "cms.bin"))
+    q = acc.start(stream, str(tmp_path / "ckpt"), trigger_once=True)
+    q.awaitTermination(180)
+    expected = build_cms_from_text(both, "text", CFG)
+    assert acc.batches_seen >= 2
+    assert acc.sketch.to_bytes() == expected.to_bytes()
+
+
+def test_stream_resume_from_state(spark, tmp_path):
+    src = str(tmp_path / "incoming")
+    a = web_pages(spark, 120, seed=21, partitions=1)
+    a.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = str(tmp_path / "cms.bin")
+    ckpt = str(tmp_path / "ckpt")
+
+    acc1 = StreamingCMS(CFG, "text", state_path=state)
+    q = acc1.start(spark.readStream.schema(schema).parquet(src), ckpt, trigger_once=True)
+    q.awaitTermination(180)
+    assert os.path.exists(state)
+
+    # new data arrives; a NEW accumulator (simulated driver restart) picks up
+    # the state blob and Spark's source checkpoint skips processed files
+    b = web_pages(spark, 80, seed=22, partitions=1)
+    b.write.mode("append").parquet(src)
+    acc2 = StreamingCMS(CFG, "text", state_path=state)
+    q2 = acc2.start(spark.readStream.schema(schema).parquet(src), ckpt, trigger_once=True)
+    q2.awaitTermination(180)
+
+    expected = build_cms_from_text(a.unionByName(b), "text", CFG)
+    assert acc2.sketch.to_bytes() == expected.to_bytes()
+
+
+def test_windowed_token_counts_matches_batch(spark, tmp_path, staged_pages):
+    src, both, _, _ = staged_pages
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    windowed = windowed_token_counts(stream, ts_col="warc_ts", window="1 minute",
+                                     watermark="5 minutes")
+    q = (
+        windowed.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2")).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window"]["start"], r["tok"]): r["count"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    exp_rows = (
+        both.select(F.window("warc_ts", "1 minute").alias("window"),
+                    F.explode(F.split("text", " ")).alias("tok"))
+        .filter("tok != ''")
+        .groupBy("window", "tok").count().collect()
+    )
+    expected = {(r["window"]["start"], r["tok"]): r["count"] for r in exp_rows}
+    assert got == expected

@@ -1,0 +1,206 @@
+"""Training-data operators: dedup family, text stats, similarity search,
+multimodal plumbing — semantic properties (the SQL-equivalence half is
+covered by the driver oracle replica in scripts/check_correctness.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_count_min_sketch_spark.functions import textstats as ts
+from parallel_count_min_sketch_spark.operators import dedup as dd
+from parallel_count_min_sketch_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_pandas,
+    lsh_ann_topk,
+)
+from parallel_count_min_sketch_spark.multimodal.binary_ops import (
+    binary_metadata,
+    decode_image_stub,
+    extract_features,
+)
+
+
+# ---------------------------- textstats -----------------------------------
+def test_textstats_hand_computed(spark):
+    df = spark.createDataFrame([(1, "the cat sat on a mat")], "id INT, text STRING")
+    row = df.select(
+        ts.n_tokens("text").alias("n"),
+        ts.stopword_count("text").alias("sw"),
+        ts.avg_token_len_bp("text").alias("alen"),
+        ts.stopword_ratio_bp("text").alias("swr"),
+        ts.doc_fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 6
+    assert row["sw"] == 2  # 'the', 'a'
+    # tokens: the(3) cat(3) sat(3) on(2) a(1) mat(3) = 15 chars / 6 = 250 bp
+    assert row["alen"] == 250
+    assert row["swr"] == 3333
+    # fingerprint equals the pure-python fold
+    h = 0
+    for ch in "the cat sat on a mat".encode():
+        h = (h * 131 + ch) % 2147483647
+    assert row["fp"] == h
+
+
+def test_empty_and_null_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "  x  ")], "id INT, text STRING")
+    rows = df.select("id", ts.n_tokens("text").alias("n"),
+                     ts.doc_fingerprint("text").alias("fp")).collect()
+    got = {r["id"]: (r["n"], r["fp"]) for r in rows}
+    assert got[1] == (0, 0)
+    assert got[2][0] is None  # null text propagates null, never crashes
+    assert got[3][0] == 1
+
+
+# ---------------------------- dedup ----------------------------------------
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb"), (5, "cc")],
+        "doc_id LONG, text STRING",
+    )
+    groups = {r["digest"]: r for r in dd.exact_dup_groups(df, "doc_id").collect()}
+    assert len(groups) == 2
+    by_n = sorted((r["n_docs"], r["keep_id"]) for r in groups.values())
+    assert by_n == [(2, 3), (3, 1)]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "w8 w7 w6 w5 w4 w3 w2 w1"),
+         (3, "x1 x2 x3 x4 x5 x6 x7 x8")],
+        "doc_id LONG, text STRING",
+    )
+    sigs = dd.minhash_long(df, "doc_id").collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], []).append(r["minhash"])
+    # same token SET (order-independent) -> identical signature
+    assert by_doc[1] == by_doc[2]
+    # disjoint sets -> different signature (w.h.p.)
+    assert by_doc[1] != by_doc[3]
+
+
+def test_minhash_estimates_jaccard(spark):
+    a_toks = [f"t{i}" for i in range(0, 60)]
+    b_toks = [f"t{i}" for i in range(30, 90)]  # true J = 30/90 = 1/3
+    df = spark.createDataFrame(
+        [(1, " ".join(a_toks)), (2, " ".join(b_toks))], "doc_id LONG, text STRING"
+    )
+    sigs = dd.minhash_long(df, "doc_id", num_perms=64).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["minhash"]
+    agree = sum(1 for p in range(64) if by_doc[1][p] == by_doc[2][p]) / 64
+    assert abs(agree - 1 / 3) < 0.2
+
+
+def test_lsh_finds_planted_dups(spark):
+    rng = np.random.default_rng(0)
+    vocab = [f"v{i}" for i in range(5000)]
+    docs = []
+    for i in range(40):
+        toks = rng.choice(vocab, size=50, replace=False)
+        docs.append((i, " ".join(toks)))
+    docs += [(100 + i, text) for i, (_, text) in enumerate(docs[:5])]  # exact dups
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(df, "doc_id").collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs, f"planted dup ({i},{100+i}) missed"
+    # distinct random 50-of-5000 docs (J ~ 0.005) must not all collide
+    assert len(pairs) < 200
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok3 ", "tok3x ")  # one token changed
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id LONG, text STRING"
+    )
+    rows = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", dd.simhash("text").alias("sh")).collect()}
+    ham_near = bin(rows[1] ^ rows[2]).count("1")
+    ham_far = bin(rows[1] ^ rows[3]).count("1")
+    assert ham_near <= 8
+    assert ham_far > ham_near
+
+
+def test_ngram_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id LONG, text STRING"
+    )
+    sets = df.select("doc_id", dd.ngram_set("text").alias("g"))
+    a = sets.filter("doc_id = 1").select(F.col("g").alias("ga"))
+    for other, expect in ((2, 10000), (3, 0)):
+        b = sets.filter(f"doc_id = {other}").select(F.col("g").alias("gb"))
+        j = a.crossJoin(b).select(dd.jaccard_bp(F.col("ga"), F.col("gb")).alias("j")).collect()[0]["j"]
+        assert j == expect
+
+
+# ---------------------------- similarity -----------------------------------
+@pytest.fixture(scope="module")
+def emb_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pandas_knn_matches_jvm_knn(spark, emb_df):
+    jvm = cosine_topk(emb_df, "vec_id", "embedding", [0, 1], k=5).collect()
+    pnd = cosine_topk_pandas(emb_df, "vec_id", "embedding", [0, 1], k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    jvm_map = {key(r): (r["neighbor_id"], r["cosine_bp"]) for r in jvm}
+    pnd_map = {key(r): (r["neighbor_id"], r["cosine_bp"]) for r in pnd}
+    assert jvm_map == pnd_map
+
+
+def test_lsh_ann_recall_on_clustered_data(spark):
+    rng = np.random.default_rng(1)
+    dim = 16
+    bases = rng.normal(size=(20, dim))
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(6):  # 6 near-copies per cluster
+            v = b + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = [0, 6, 12, 18, 24]
+    exact = cosine_topk(df, "vec_id", "embedding", queries, k=3).collect()
+    approx = lsh_ann_topk(df, "vec_id", "embedding", queries, dim=dim, k=3).collect()
+    exact_top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    approx_map = {}
+    for r in approx:
+        approx_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for q, n in exact_top1.items() if n in approx_map.get(q, set()))
+    assert hits >= 3, f"LSH recall too low: {hits}/5"
+
+
+# ---------------------------- multimodal ------------------------------------
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"\x89PNG....")
+    a = decode_image_stub(b"same bytes", fake=True)
+    b = decode_image_stub(b"same bytes", fake=True)
+    assert np.array_equal(a, b) and a.shape == (4, 4, 3) and a.dtype == np.uint8
+
+
+def test_binary_pipeline_end_to_end(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNGrestofpng")), (2, bytearray(b"\xff\xd8\xffjpegdata")),
+         (3, bytearray(b"plainbytes"))],
+        "id LONG, blob BINARY",
+    )
+    meta = {r["id"]: (r["sniffed_format"], r["byte_len"])
+            for r in binary_metadata(df, "blob", keep_cols=("id",)).collect()}
+    assert meta[1] == ("png", 13)
+    assert meta[2] == ("jpeg", 11)
+    assert meta[3] == ("unknown", 10)
+    feats = extract_features(df, "blob", "id").collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r["feat"]) == 3
+        assert 0 <= r["mean_intensity_bp"] <= 25500
+    # determinism across partitionings
+    feats2 = extract_features(df.repartition(3), "blob", "id").collect()
+    assert {r["id"]: r["mean_intensity_bp"] for r in feats} == \
+        {r["id"]: r["mean_intensity_bp"] for r in feats2}

@@ -54,6 +54,26 @@ def test_token_mixture_plants_heavy_hitters(spark, pages):
     assert range_mass == pytest.approx(0.1, rel=0.2)
 
 
+def test_pareto_variant_is_skewed(spark):
+    """FIXTURES F4: Pareto tokens (head-heavy) + 3 dominant hosts."""
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.operators.skew import host_of_url
+
+    pg = web_pages(spark, 400, seed=9, partitions=3, token_dist="pareto")
+    toks = pg.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = dict(toks.groupBy("tok").count().collect())
+    n = sum(counts.values())
+    # Pareto(2) head: id 0 alone carries a large share
+    assert counts.get("tok0", 0) / n > 0.3
+    hosts = pg.select(host_of_url("url").alias("h")).groupBy("h").count().collect()
+    top3 = sum(c for c in sorted((r["count"] for r in hosts), reverse=True)[:3])
+    assert top3 / 400 > 0.7
+    # deterministic too
+    again = web_pages(spark, 400, seed=9, partitions=5, token_dist="pareto")
+    assert pg.orderBy("url").collect() == again.orderBy("url").collect()
+
+
 def test_accuracy_harness_end_to_end(spark, pages):
     """The acceptance test the north_rule names: distributed CMS build over
     the corpus, then for every distinct token assert estimate >= true
