@@ -123,6 +123,59 @@ def bench_cms_build(spark, corpus_path: str) -> dict:
     }
 
 
+def bench_reference_parity(spark, n_items: int) -> dict:
+    """The reference's own workload (BASELINE.md): CMS build over uint32
+    items from the gen_datasets mixture, then point/range/inner-product
+    query latency averaged over 10^6 repetitions (reference harness:
+    src/mpi/mpiV2.c:194-207). Items are generated JVM-side (the reference
+    reads a pre-generated text file; its timings likewise exclude
+    generation... they include file READ, which our scan replaces)."""
+    import numpy as np
+
+    from parallel_count_min_sketch_spark.config import CMSConfig
+    from parallel_count_min_sketch_spark.operators.sql_build import collect_cms
+    from parallel_count_min_sketch_spark.sources.items import items_df
+
+    cfg = CMSConfig(epsilon=0.001, delta=0.1, seed=12345)
+    df = items_df(spark, n_items).cache()
+    n_exact_123 = df.filter("item = 123").count()  # materializes the cache too
+    # JVM path only: integer items need no djb2, and the Arrow path's
+    # 8B/item JVM->Python transfer dominates at this scale (measured 138s
+    # vs 12s at 250M) — path equality is covered by tests at small n.
+    collect_cms(df.limit(100_000), "item", cfg)  # warm JIT
+    t0 = time.perf_counter()
+    sk = collect_cms(df, "item", cfg)
+    build_sec = time.perf_counter() - t0
+    df.unpersist()
+    assert int(sk.point_query(np.array([123]))[0]) >= n_exact_123  # one-sided
+
+    reps = 1_000_000
+    qitems = np.full(reps, 123, dtype=np.int64)
+    t0 = time.perf_counter()
+    est123 = int(sk.point_query(qitems)[-1])
+    point_us = (time.perf_counter() - t0) / reps * 1e6
+    t0 = time.perf_counter()
+    for _ in range(1000):
+        rng_sum = sk.range_query(100, 110)
+    range_us = (time.perf_counter() - t0) / 1000 * 1e6
+    t0 = time.perf_counter()
+    for _ in range(1000):
+        ip = sk.inner_product(sk)
+    inner_us = (time.perf_counter() - t0) / 1000 * 1e6
+    return {
+        "items_build_sec": round(build_sec, 3),
+        "n_items": n_items,
+        "items_per_sec": round(n_items / build_sec, 1),
+        "exact_123": int(n_exact_123),
+        "point_query_us": round(point_us, 4),
+        "range_query_us": round(range_us, 2),
+        "inner_product_us": round(inner_us, 2),
+        "est_123": est123,
+        "range_100_110": rng_sum,
+        "self_inner_product": ip,
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -131,6 +184,7 @@ def main() -> None:
 
     corpus = ensure_corpus(spark, N_PAGES)
     build = bench_cms_build(spark, corpus)
+    parity = bench_reference_parity(spark, int(os.environ.get("SPARK_GRAFT_BENCH_ITEMS", "250000000")))
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
@@ -158,6 +212,7 @@ def main() -> None:
         "corpus_tokens": build["n_tokens"],
         "docs_per_sec": build["docs_per_sec"],
         "tokens_per_sec": build["tokens_per_sec"],
+        "reference_parity": parity,
     }
     spark.stop()
     print(json.dumps(out))

@@ -78,6 +78,26 @@ def run_level(cpus: int, corpus: str, reps: int) -> dict:
     raise RuntimeError(f"no result from local[{cpus}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def _parity_section() -> str:
+    p = os.path.join(REPO, "BENCH", "parity.json")
+    if not os.path.exists(p):
+        return "(not yet measured — run bench.py)"
+    with open(p) as f:
+        r = json.load(f)
+    return f"""CMS build over {r['n_items'] / 1e6:.0f}M uint32 items (gen_datasets mixture, seed 12345),
+{r.get('config', '')}:
+
+| metric | this engine | reference (BASELINE.md) |
+|---|---|---|
+| build, {r['n_items'] / 1e6:.0f}M items | {r['items_build_sec']:.1f} s ({r['items_per_sec'] / 1e6:.1f}M items/s) | sequential 26.65 s (9.4M/s); mpiV2 32 procs ~48.8M/s (1000M run) |
+| point query (avg of 10^6) | {r['point_query_us']:.2f} us | 6.5-10 us |
+| range query [100,110] | {r['range_query_us']:.1f} us | ~4.4 us |
+| self inner product | {r['inner_product_us']:.1f} us | ~27-30 us |
+
+Planted-oracle sanity: est(123) = {r['est_123']:,} on {r['n_items']:,} items
+(mixture plants 10% -> ~{r['n_items'] // 10:,}); one-sided bound verified in-run."""
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4n)")
@@ -178,6 +198,10 @@ Reference baseline (BASELINE.md): sequential C build 9.4M items/s on one core;
 best MPI config 48.8M items/s on 32 procs (pre-parsed uint32 items). Our items
 are *string tokens* (tokenize + djb2 inside the engine), and the single-VM
 numbers above already exceed the reference's 32-proc cluster throughput.
+
+## Reference-parity workload (the reference's own benchmark)
+
+""" + _parity_section() + f"""
 
 Caveat: all local[N] levels share ONE machine's memory bandwidth, which
 saturates around 8 cores here (the arrow path is bandwidth-bound: local[8]
