@@ -184,7 +184,7 @@ def main() -> None:
 
     corpus = ensure_corpus(spark, N_PAGES)
     build = bench_cms_build(spark, corpus)
-    parity = bench_reference_parity(spark, int(os.environ.get("SPARK_GRAFT_BENCH_ITEMS", "250000000")))
+    parity = bench_reference_parity(spark, int(os.environ.get("SPARK_GRAFT_BENCH_ITEMS", "100000000")))
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
