@@ -238,8 +238,78 @@ def djb2_sql_duckdb_local(expr: str) -> str:
     return djb2_sql_duckdb(expr)
 
 
+DYADIC_SEED = 12345
+DYADIC_BASE = 16
+DYADIC_LEVELS = 8
+DYADIC_RANGE = (100, 1500)  # wide range: naive would need 1401 point queries
+
+
+def _mk_dyadic():
+    from ..sketches.dyadic import DyadicCMS
+
+    return DyadicCMS(0.001, 0.1, DYADIC_SEED, base=DYADIC_BASE, levels=DYADIC_LEVELS)
+
+
+def _dyadic_from_bytes(b):
+    from ..sketches.dyadic import DyadicCMS
+
+    return DyadicCMS.from_bytes(b, 0.001, 0.1)
+
+
+def q_dyadic_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(log U) range query via the dyadic CMS hierarchy (vs the
+    reference's O(range) loop) — distributed Arrow build, integer-exact
+    SQL replay of every level's counters."""
+    li = load(spark, sf_dir, "lineitem")
+    sk = build_sketch(li, "l_partkey", _mk_dyadic, _dyadic_from_bytes)
+    lo, hi = DYADIC_RANGE
+    est = sk.range_query(lo, hi)
+    return spark.createDataFrame(
+        [(lo, hi, int(est))], "range_lo BIGINT, range_hi BIGINT, dyadic_range_sum BIGINT"
+    )
+
+
+def _sql_dyadic() -> str:
+    from ..config import CMSConfig
+    from ..sketches.dyadic import decompose, level_seed
+
+    lo, hi = DYADIC_RANGE
+    parts = decompose(lo, hi, DYADIC_BASE, DYADIC_LEVELS)
+    by_level: dict[int, list[int]] = {}
+    for l, k in parts:
+        by_level.setdefault(l, []).append(k)
+    level_sqls = []
+    for l, keys in sorted(by_level.items()):
+        cfg = CMSConfig(epsilon=0.001, delta=0.1, seed=level_seed(DYADIC_SEED, l))
+        shift = DYADIC_BASE ** l
+        buckets = " UNION ALL ".join(
+            f"SELECT {j} AS depth_row, {cfg.bucket_sql(j, 'item_id')} AS bucket, "
+            f"CAST(COUNT(*) AS BIGINT) AS counter "
+            f"FROM (SELECT CAST(l_partkey AS BIGINT) // {shift} AS item_id FROM lineitem) GROUP BY 2"
+            for j in range(cfg.depth)
+        )
+        probes = " UNION ALL ".join(
+            f"SELECT {int(k)} AS item, {j} AS depth_row, "
+            f"{cfg.bucket_sql(j, f'CAST({int(k)} AS BIGINT)')} AS bucket"
+            for k in keys for j in range(cfg.depth)
+        )
+        level_sqls.append(f"""
+SELECT SUM(est) AS s FROM (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM ({probes}) p LEFT JOIN ({buckets}) b USING (depth_row, bucket)
+  GROUP BY p.item
+)""")
+    union = " UNION ALL ".join(f"SELECT s FROM ({q})" for q in level_sqls)
+    return f"""
+SELECT CAST({lo} AS BIGINT) AS range_lo, CAST({hi} AS BIGINT) AS range_hi,
+       CAST(SUM(s) AS BIGINT) AS dyadic_range_sum
+FROM ({union})
+"""
+
+
 SKETCH_QUERIES = {
     "cms_grouped_by_lang": (q_cms_grouped_by_lang, _sql_cms_grouped()),
+    "dyadic_range_query": (q_dyadic_range_query, _sql_dyadic()),
     "hll_registers": (q_hll_registers, _hll_sql()),
     "hll_distinct": (q_hll_distinct, None),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),

@@ -1,5 +1,6 @@
 from .bloom import BloomFilter, bloom_dims
 from .cms import CountMinSketch, dims
+from .dyadic import DyadicCMS
 from .hashing import LONG_PRIME, MERSENNE_PRIME, affine_hash, affine_params, djb2_batch, djb2_py
 from .hll import HyperLogLog
 from .kll import KLLSketch
@@ -9,6 +10,7 @@ from .tdigest import TDigest
 __all__ = [
     "BloomFilter",
     "CountMinSketch",
+    "DyadicCMS",
     "HyperLogLog",
     "KLLSketch",
     "SequentialCMS",
