@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--delta", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=12345)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--file-lineage", action="store_true",
+                    help="with --checkpoint: file-granular lineage (resume "
+                         "prunes completed files from the scan itself)")
     ap.add_argument("--salt-partitions", type=int, default=0,
                     help="salted repartition width (0 = keep scan partitioning)")
     ap.add_argument("--path", choices=["sql", "arrow"], default="sql")
@@ -59,7 +62,15 @@ def main() -> None:
         df = salted_repartition(df, args.salt_partitions, seed=args.seed)
 
     t0 = time.perf_counter()
-    if args.checkpoint:
+    if args.checkpoint and args.file_lineage:
+        from parallel_count_min_sketch_spark.operators.checkpoint import (
+            FileCheckpointedCMSBuild,
+        )
+
+        build = FileCheckpointedCMSBuild(cfg, args.checkpoint)
+        sk = build.run(spark, args.input, args.text_col)
+        metrics = build.metrics
+    elif args.checkpoint:
         build = CheckpointedCMSBuild(cfg, args.checkpoint)
         sk = build.run(df, args.text_col, input_desc=args.input)
         metrics = build.metrics

@@ -26,7 +26,7 @@ import time
 
 from ..config import CMSConfig
 from ..sketches.cms import CountMinSketch
-from .agg import cms_partials, cms_text_partials
+from .agg import cms_grouped, cms_partials, cms_text_partials
 
 
 class CheckpointedCMSBuild:
@@ -115,6 +115,86 @@ class CheckpointedCMSBuild:
             "partitions_skipped": len(done),
             "partitions_computed": n_partitions - len(done),
             "rows_seen": int(sum(r["rows_seen"] for r in rows)),
+            "total_mass": merged.total,
+            "compute_sec": round(compute_sec, 3),
+        }
+        return merged
+
+
+class FileCheckpointedCMSBuild:
+    """File-granular lineage: one partial sketch per INPUT FILE, resume by
+    scanning only the files that have no partial yet.
+
+    This is the scale-correct resume: unlike partition-id lineage (which
+    can only skip compute while Spark still plans the full scan), pruning
+    the file list prunes the SCAN itself — on Iceberg, the exact analog is
+    planning only the data files absent from the lineage table. Requires
+    the input to be a multi-file dataset (every parquet/Iceberg table is).
+
+    Partials are produced with the grouped two-phase aggregation keyed on
+    input_file_name(), so one pass yields every file's sketch regardless
+    of how Spark packs files into splits.
+    """
+
+    def __init__(self, cfg: CMSConfig, checkpoint_dir: str):
+        self.cfg = cfg
+        self.dir = checkpoint_dir
+        self.partials_dir = os.path.join(checkpoint_dir, "file_partials")
+        self.metrics: dict = {}
+
+    def completed_files(self, spark) -> set[str]:
+        if not os.path.isdir(self.partials_dir):
+            return set()
+        try:
+            rows = spark.read.parquet(self.partials_dir).select("group").collect()
+        except Exception:  # noqa: BLE001
+            return set()
+        return {r["group"] for r in rows}
+
+    @staticmethod
+    def _norm(uri: str) -> str:
+        """Normalize file URIs: input_file_name() and inputFiles() may
+        disagree on scheme slashes (file:/ vs file:///)."""
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(uri)
+        return unquote(parsed.path) if parsed.scheme else uri
+
+    def run(self, spark, input_path: str, text_col: str = "text") -> CountMinSketch:
+        from pyspark.sql import functions as F
+
+        all_files = sorted(spark.read.parquet(input_path).inputFiles())
+        done = {self._norm(f) for f in self.completed_files(spark)}
+        todo = [f for f in all_files if self._norm(f) not in done]
+
+        t0 = time.perf_counter()
+        if todo:
+            # scan ONLY the remaining files — the resume prunes I/O, not
+            # just compute
+            df = spark.read.parquet(*todo).select(text_col) \
+                .withColumn("__file", F.input_file_name())
+            toks = df.select(
+                "__file", F.explode(F.split(text_col, " ")).alias("tok")
+            ).filter(F.col("tok") != "")
+            partials = cms_grouped(toks, "__file", "tok", self.cfg, string_items=True)
+            partials.write.mode("append").parquet(self.partials_dir)
+        compute_sec = time.perf_counter() - t0
+
+        rows = spark.read.parquet(self.partials_dir) \
+            .dropDuplicates(["group"]).collect()
+        have = {self._norm(r["group"]) for r in rows}
+        wanted = {self._norm(f) for f in all_files}
+        missing = wanted - have
+        if missing:
+            raise RuntimeError(f"lineage incomplete after run: {missing}")
+        merged = CountMinSketch.merge_blobs(
+            (r["sketch"] for r in rows if self._norm(r["group"]) in wanted),
+            self.cfg.epsilon, self.cfg.delta,
+        )
+        self.metrics = {
+            "n_files": len(all_files),
+            "files_skipped": len(all_files) - len(todo),
+            "files_computed": len(todo),
             "total_mass": merged.total,
             "compute_sec": round(compute_sec, 3),
         }

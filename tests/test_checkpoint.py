@@ -65,6 +65,33 @@ def test_noop_resume_recomputes_nothing(spark, ckpt_dir):
     assert sk.total > 0
 
 
+def test_file_lineage_resume_scans_only_new_files(spark, ckpt_dir, tmp_path):
+    """File-granular lineage: a resumed build must merge to the same
+    sketch as a fresh full build while computing only the new files."""
+    from parallel_count_min_sketch_spark.operators.checkpoint import FileCheckpointedCMSBuild
+
+    src = str(tmp_path / "dataset")
+    web_pages(spark, 300, seed=7, partitions=3).write.mode("append").parquet(src)
+    b1 = FileCheckpointedCMSBuild(CFG, ckpt_dir)
+    sk1 = b1.run(spark, src)
+    assert b1.metrics["files_computed"] == b1.metrics["n_files"] >= 3
+
+    # new files land (late-arriving data / previously failed files)
+    web_pages(spark, 200, seed=8, partitions=2).write.mode("append").parquet(src)
+    b2 = FileCheckpointedCMSBuild(CFG, ckpt_dir)
+    sk2 = b2.run(spark, src)
+    assert b2.metrics["files_skipped"] == b1.metrics["n_files"]
+    assert b2.metrics["files_computed"] == b2.metrics["n_files"] - b1.metrics["n_files"] > 0
+
+    fresh = build_cms_from_text(spark.read.parquet(src), "text", CFG)
+    assert sk2.to_bytes() == fresh.to_bytes()
+    # and a no-op resume computes nothing
+    b3 = FileCheckpointedCMSBuild(CFG, ckpt_dir)
+    sk3 = b3.run(spark, src)
+    assert b3.metrics["files_computed"] == 0
+    assert sk3.to_bytes() == fresh.to_bytes()
+
+
 def test_config_mismatch_rejected(spark, ckpt_dir):
     df = web_pages(spark, 200, seed=5, partitions=4)
     CheckpointedCMSBuild(CFG, ckpt_dir).run(df, "text")
