@@ -201,6 +201,13 @@ def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
         sketches: dict[str, CountMinSketch] = {}
         counts: dict[str, int] = {}
         for batch in batches:
+            if batch.column(0).null_count or batch.column(1).null_count:
+                import pyarrow.compute as pc
+
+                keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
+                batch = batch.filter(keep)
+            if batch.num_rows == 0:
+                continue
             gcol = batch.column(0)
             items = _items_from_array(batch.column(1), string_items)
             groups = np.asarray(gcol.to_pylist(), dtype=object)

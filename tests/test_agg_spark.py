@@ -108,6 +108,15 @@ def test_grouped_sketches(spark):
     assert en.to_bytes() == exp.to_bytes()
 
 
+def test_grouped_sketches_skip_nulls(spark):
+    rows = [("en", 1), (None, 2), ("en", None), ("de", 5), (None, None)]
+    df = spark.createDataFrame(rows, "lang STRING, item BIGINT").repartition(2)
+    cfg = CMSConfig(epsilon=0.1, delta=0.1, seed=9)
+    out = {r["group"]: r for r in cms_grouped(df, "lang", "item", cfg).collect()}
+    assert set(out) == {"en", "de"}
+    assert out["en"]["total"] == 1 and out["de"]["total"] == 1
+
+
 def test_merge_partials_large_fanin(spark, items_df):
     df, items = items_df
     partials = cms_partials(df.repartition(32), "item", CFG)
