@@ -70,22 +70,46 @@ def affine_sql(a: int, b: int, item_expr: str) -> str:
     return f"(({a} * (({item_expr}) % {MERSENNE_PRIME}) + {b}) % {MERSENNE_PRIME})"
 
 
+def _djb2_step_sql(h: str, u: str, intdiv: str) -> str:
+    """One fold step: expand code point ``u`` to its UTF-8 bytes
+    arithmetically and fold each byte in (h*33+byte), taking mod p once per
+    character — exact, since the pre-mod intermediate stays < 2^55 in int64.
+
+    This makes the SQL fold byte-identical to the numpy kernel
+    (sketches/hashing.djb2_batch hashes UTF-8 *bytes*) while keeping the
+    fast per-character substring scan. Handles 1-4 byte code points.
+    """
+    d = intdiv
+    return (
+        f"CASE WHEN {u} < 128 THEN ({h} * 33 + {u}) % {LONG_PRIME} "
+        f"WHEN {u} < 2048 THEN (({h} * 33 + (192 + {u} {d} 64)) * 33 "
+        f"+ (128 + {u} % 64)) % {LONG_PRIME} "
+        f"WHEN {u} < 65536 THEN ((({h} * 33 + (224 + {u} {d} 4096)) * 33 "
+        f"+ (128 + ({u} {d} 64) % 64)) * 33 + (128 + {u} % 64)) % {LONG_PRIME} "
+        f"ELSE (((({h} * 33 + (240 + {u} {d} 262144)) * 33 "
+        f"+ (128 + ({u} {d} 4096) % 64)) * 33 + (128 + ({u} {d} 64) % 64)) * 33 "
+        f"+ (128 + {u} % 64)) % {LONG_PRIME} END"
+    )
+
+
 def djb2_sql_spark(col_expr: str) -> str:
-    """djb2 mod LONG_PRIME as a Spark SQL higher-order-function expression
-    (JVM-side, codegen'd — no Python). ASCII input assumed (matches the
-    synthetic corpora; the numpy kernel hashes UTF-8 bytes)."""
+    """djb2-over-UTF-8-bytes mod LONG_PRIME as a Spark SQL higher-order-
+    function expression (JVM-side, codegen'd — no Python). Folds over code
+    points (ascii/substring) and expands each to its UTF-8 bytes in integer
+    arithmetic, so the result equals the numpy kernel's byte fold on ANY
+    unicode input (reference hash: src/core/count_min_sketch.c:14-21)."""
     return (
         f"aggregate(transform(sequence(1, length({col_expr})), i -> "
         f"CAST(ascii(substring({col_expr}, i, 1)) AS BIGINT)), "
-        f"CAST({DJB2_INIT} AS BIGINT), (h, c) -> (h * 33 + c) % {LONG_PRIME})"
+        f"CAST({DJB2_INIT} AS BIGINT), (h, u) -> {_djb2_step_sql('h', 'u', 'DIV')})"
     )
 
 
 def djb2_sql_duckdb(col_expr: str) -> str:
-    """Same fold in DuckDB (list_reduce over char codes)."""
+    """Same byte-exact fold in DuckDB (list_reduce over ord code points)."""
     return (
         f"list_reduce(list_prepend(CAST({DJB2_INIT} AS BIGINT), "
         f"list_transform(range(1, length({col_expr}) + 1), i -> "
-        f"CAST(ascii(substring({col_expr}, i, 1)) AS BIGINT))), "
-        f"(h, c) -> (h * 33 + c) % {LONG_PRIME})"
+        f"CAST(ord(substring({col_expr}, i, 1)) AS BIGINT))), "
+        f"(h, u) -> {_djb2_step_sql('h', 'u', '//')})"
     )

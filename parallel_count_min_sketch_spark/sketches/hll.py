@@ -90,6 +90,26 @@ class HyperLogLog:
                 est = m * np.log(m / zeros)
         return float(est)
 
+    def estimate_portable(self) -> tuple[int, int, float]:
+        """(scaled_inverse_sum, zero_registers, estimate) with the inverse
+        sum computed as the EXACT integer sum(2^(SCALE_BITS - reg)) — every
+        term is integral because reg <= 32 < SCALE_BITS — so a SQL oracle
+        can replay S and V exactly and the float estimate deterministically
+        (two IEEE rounding steps + one libm log, identical op order to the
+        SQL emitted by the driver queries)."""
+        regs = self.registers
+        m = self.m
+        s = int((1 << (HLL_SCALE_BITS - regs.astype(np.int64))).sum())
+        v = int((regs == 0).sum())
+        raw = _alpha(m) * (m * m) * float(1 << HLL_SCALE_BITS) / s
+        if raw <= 2.5 * m and v > 0:
+            import math
+
+            est = float(m) * math.log(float(m) / v)
+        else:
+            est = raw
+        return s, v, est
+
     # -- merge ----------------------------------------------------------------
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if self.config_key() != other.config_key():

@@ -95,6 +95,33 @@ def test_string_items_and_text_path(spark):
     assert int(sk.point_query(np.array([djb2_py("c")]))[0]) >= 3
 
 
+def test_sql_and_arrow_paths_agree_on_non_ascii(spark):
+    """The JVM djb2 fold (code-point -> UTF-8-byte expansion) must equal the
+    numpy byte fold on real unicode, and the DuckDB oracle must replay it —
+    the round-1 latent divergence (ADVICE: per-char ascii vs UTF-8 bytes)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.config import djb2_sql_duckdb
+
+    docs = [("héllo wörld 日本語 😀ok héllo",), ("naïve café péri单 日本語",)]
+    df = spark.createDataFrame(docs, "text STRING")
+    cfg = CMSConfig(epsilon=0.1, delta=0.1, seed=7)
+    tokens = df.select(F.explode(F.split("text", " ")).alias("tok")).filter("tok != ''")
+    arrow_sk = build_cms_from_text(df.repartition(2), "text", cfg)
+    sql_sk = collect_cms(tokens, "tok", cfg, string_items=True)
+    assert sql_sk.to_bytes() == arrow_sk.to_bytes()
+
+    toks = sorted({t for d in docs for t in d[0].split(" ") if t})
+    vals = ", ".join(f"('{t}')" for t in toks)
+    duck = duckdb.connect()
+    got = duck.sql(
+        f"SELECT t, {djb2_sql_duckdb('t')} AS h FROM (VALUES {vals}) v(t) ORDER BY t"
+    ).fetchall()
+    duck.close()
+    assert {t: h for t, h in got} == {t: djb2_py(t) for t in toks}
+
+
 def test_grouped_sketches(spark):
     rows = [("en", 1), ("en", 1), ("de", 2), ("en", 3), ("de", 2), ("de", 5)]
     df = spark.createDataFrame(rows, "lang STRING, item BIGINT").repartition(3)
