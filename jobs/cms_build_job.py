@@ -44,6 +44,10 @@ def main() -> None:
                     help="salted repartition width (0 = keep scan partitioning)")
     ap.add_argument("--path", choices=["sql", "arrow"], default="sql")
     args = ap.parse_args()
+    if args.checkpoint and args.salt_partitions and not args.file_lineage:
+        ap.error("--checkpoint with --salt-partitions requires --file-lineage: "
+                 "partition-id lineage is unsound downstream of a salted "
+                 "repartition (contents shift with parallelism)")
 
     from pyspark.sql import SparkSession, functions as F
 

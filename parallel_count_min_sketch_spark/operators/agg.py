@@ -208,15 +208,22 @@ def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
                 batch = batch.filter(keep)
             if batch.num_rows == 0:
                 continue
-            gcol = batch.column(0)
             items = _items_from_array(batch.column(1), string_items)
-            groups = np.asarray(gcol.to_pylist(), dtype=object)
-            order = np.argsort(groups, kind="stable")
-            sorted_groups = groups[order]
+            # dictionary-encode the group keys: only UNIQUE key strings ever
+            # cross into Python; the segmenting argsort runs on int32 codes
+            # (matters for high-cardinality groups — host, file)
+            import pyarrow.compute as pc
+
+            enc = pc.dictionary_encode(batch.column(0))
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            key_by_code = enc.dictionary.to_pylist()
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
             sorted_items = items[order]
-            uniq, starts = np.unique(sorted_groups, return_index=True)
-            bounds = np.append(starts, len(sorted_groups))
-            for g, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+            uniq, starts = np.unique(sorted_codes, return_index=True)
+            bounds = np.append(starts, len(sorted_codes))
+            for code, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+                g = key_by_code[code]
                 sk = sketches.get(g)
                 if sk is None:
                     sk = cfg.new_sketch()

@@ -29,6 +29,15 @@ from ..sketches.cms import CountMinSketch
 from .agg import cms_grouped, cms_partials, cms_text_partials
 
 
+def _norm_uri(uri: str) -> str:
+    """Normalize file URIs: input_file_name() and inputFiles() may disagree
+    on scheme slashes (file:/ vs file:///)."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(uri)
+    return unquote(parsed.path) if parsed.scheme else uri
+
+
 class CheckpointedCMSBuild:
     def __init__(self, cfg: CMSConfig, checkpoint_dir: str):
         self.cfg = cfg
@@ -38,7 +47,21 @@ class CheckpointedCMSBuild:
         self.metrics: dict = {}
 
     # -- lineage bookkeeping -------------------------------------------------
-    def _write_meta(self, n_partitions: int, input_desc: str) -> None:
+    @staticmethod
+    def _fingerprint(df) -> dict:
+        """Identity of the input's partition layout. Partition-id lineage is
+        only sound when partition CONTENTS are reproducible across runs:
+        same source files AND no shuffle between scan and partials (a
+        repartition keyed on nondeterministic ids — e.g. salted_repartition's
+        monotonically_increasing_id — shifts contents with core count while
+        keeping the partition count fixed)."""
+        files = sorted(_norm_uri(f) for f in df.inputFiles())
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        stable = "Repartition" not in plan  # Repartition / RepartitionByExpression
+        return {"files": files, "scan_stable": stable}
+
+    def _write_meta(self, n_partitions: int, input_desc: str,
+                    fingerprint: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)
         meta = {
             "epsilon": self.cfg.epsilon,
@@ -48,6 +71,7 @@ class CheckpointedCMSBuild:
             "width": self.cfg.width,
             "n_partitions": n_partitions,
             "input": input_desc,
+            "fingerprint": fingerprint,
         }
         with open(self.meta_path, "w") as f:
             json.dump(meta, f, indent=2)
@@ -73,8 +97,21 @@ class CheckpointedCMSBuild:
         """Build (or resume) the sketch; persists partials as it goes."""
         spark = df.sparkSession
         n_partitions = df.rdd.getNumPartitions()
+        fingerprint = self._fingerprint(df)
+        if not fingerprint["scan_stable"]:
+            raise ValueError(
+                "partition-id lineage is unsound downstream of a repartition "
+                "(partition contents shift with parallelism while the count "
+                "stays fixed); checkpoint the un-repartitioned scan, or use "
+                "FileCheckpointedCMSBuild for file-granular lineage"
+            )
         meta = self._read_meta() if resume else None
         if meta is not None:
+            if meta.get("fingerprint", {}).get("files") != fingerprint["files"]:
+                raise ValueError(
+                    "input files changed since the checkpoint was taken; "
+                    "partition ids no longer line up — pass resume=False"
+                )
             if (meta["epsilon"], meta["delta"], meta["seed"]) != (
                 self.cfg.epsilon, self.cfg.delta, self.cfg.seed
             ) or meta["n_partitions"] != n_partitions:
@@ -85,7 +122,7 @@ class CheckpointedCMSBuild:
             done = self.completed_partitions(spark)
         else:
             done = set()
-            self._write_meta(n_partitions, input_desc)
+            self._write_meta(n_partitions, input_desc, fingerprint)
 
         t0 = time.perf_counter()
         if len(done) < n_partitions:
@@ -153,12 +190,7 @@ class FileCheckpointedCMSBuild:
 
     @staticmethod
     def _norm(uri: str) -> str:
-        """Normalize file URIs: input_file_name() and inputFiles() may
-        disagree on scheme slashes (file:/ vs file:///)."""
-        from urllib.parse import unquote, urlparse
-
-        parsed = urlparse(uri)
-        return unquote(parsed.path) if parsed.scheme else uri
+        return _norm_uri(uri)
 
     def run(self, spark, input_path: str, text_col: str = "text") -> CountMinSketch:
         from pyspark.sql import functions as F
@@ -180,15 +212,18 @@ class FileCheckpointedCMSBuild:
             partials.write.mode("append").parquet(self.partials_dir)
         compute_sec = time.perf_counter() - t0
 
-        rows = spark.read.parquet(self.partials_dir) \
-            .dropDuplicates(["group"]).collect()
-        have = {self._norm(r["group"]) for r in rows}
+        # dedupe on the NORMALIZED path (raw URIs can vary in scheme slashes
+        # across runs — file:/ vs file:/// — and merging both would double-
+        # count that file); the partial set is O(n_files), fine driver-side
+        by_path: dict[str, object] = {}
+        for r in spark.read.parquet(self.partials_dir).collect():
+            by_path.setdefault(self._norm(r["group"]), r)
         wanted = {self._norm(f) for f in all_files}
-        missing = wanted - have
+        missing = wanted - set(by_path)
         if missing:
             raise RuntimeError(f"lineage incomplete after run: {missing}")
         merged = CountMinSketch.merge_blobs(
-            (r["sketch"] for r in rows if self._norm(r["group"]) in wanted),
+            (r["sketch"] for p, r in by_path.items() if p in wanted),
             self.cfg.epsilon, self.cfg.delta,
         )
         self.metrics = {

@@ -27,21 +27,15 @@ def _token_set(text: str = "text") -> Column:
     return F.array_distinct(F.filter(F.split(F.col(text), " "), lambda t: t != F.lit("")))
 
 
-def _djb2_lambda(t: Column) -> Column:
-    """djb2 mod LONG_PRIME of a token, usable inside HOF lambdas."""
-    from ..sketches.hashing import DJB2_INIT, LONG_PRIME
-
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(t)),
-        lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("bigint"),
-    )
-    return F.aggregate(codes, F.lit(DJB2_INIT).cast("bigint"),
-                       lambda h, c: (h * 33 + c) % F.lit(LONG_PRIME))
-
-
 def token_id_set(text: str = "text") -> Column:
-    """array<bigint> of distinct token ids (djb2) — the doc's shingle set."""
-    return F.transform(_token_set(text), _djb2_lambda)
+    """array<bigint> of distinct token ids (djb2 over UTF-8 bytes, matching
+    sketches/hashing.djb2_batch on any unicode input) — the doc's shingle
+    set. Emitted as one SQL HOF expression so the byte-exact fold from
+    config._djb2_step_sql is shared verbatim with the CMS path."""
+    from ..config import djb2_sql_spark
+
+    toks = f"array_distinct(filter(split({text}, ' '), t -> t != ''))"
+    return F.expr(f"transform({toks}, t -> {djb2_sql_spark('t')})")
 
 
 def minhash_signature(text: str = "text", *, num_perms: int = DEFAULT_PERMS,
@@ -74,18 +68,15 @@ def minhash_long(df: DataFrame, id_col: str, text: str = "text", *,
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
-                        num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
-                        seed: int = MINHASH_SEED) -> DataFrame:
-    """MinHash-LSH near-dup candidates: band the signature, hash each band,
-    self-join on (band, band_key). Returns distinct (id_a, id_b), a < b.
-
-    The only shuffle is on the band key; a bucket of size s yields s^2
-    pairs locally — the standard LSH trade of recall vs bucket width."""
+def lsh_band_rows(df: DataFrame, id_col: str, text: str = "text", *,
+                  num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
+                  seed: int = MINHASH_SEED) -> DataFrame:
+    """(_id, band, band_key): one row per (doc, band) with the band's
+    minhashes folded into a single bigint key."""
     rows_per_band = num_perms // bands
     sig = minhash_signature(text, num_perms=num_perms, seed=seed)
     banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    band_rows = banded.select(
+    return banded.select(
         "_id",
         F.posexplode(
             F.array(*[
@@ -99,6 +90,34 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
             ])
         ).alias("band", "band_key"),
     )
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
+                        num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
+                        seed: int = MINHASH_SEED,
+                        max_bucket: int | None = None) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, hash each band,
+    self-join on (band, band_key). Returns distinct (id_a, id_b), a < b.
+
+    The only shuffle is on the band key; a bucket of size s yields s^2
+    pairs locally. ``max_bucket`` caps that: buckets larger than the cap
+    are DROPPED before the self-join (the standard guard — a degenerate
+    key, e.g. thousands of empty/boilerplate-identical docs, would
+    otherwise emit s^2 pairs on one task and OOM it at corpus scale).
+    Dropped buckets are near-exact-duplicate cliques; route those through
+    exact_dup_groups instead of pairwise LSH. Use ``lsh_bucket_stats`` to
+    size the cap and surface what a given cap drops."""
+    band_rows = lsh_band_rows(df, id_col, text, num_perms=num_perms,
+                              bands=bands, seed=seed)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        band_rows = (
+            band_rows.withColumn("_bucket_size", F.count("*").over(w))
+            .filter(F.col("_bucket_size") <= max_bucket)
+            .drop("_bucket_size")
+        )
     left = band_rows.select(F.col("band"), F.col("band_key"), F.col("_id").alias("id_a"))
     right = band_rows.select(F.col("band"), F.col("band_key"), F.col("_id").alias("id_b"))
     pairs = (
@@ -108,6 +127,26 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
         .distinct()
     )
     return pairs
+
+
+def lsh_bucket_stats(df: DataFrame, id_col: str, text: str = "text", *,
+                     num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
+                     seed: int = MINHASH_SEED,
+                     max_bucket: int | None = None) -> DataFrame:
+    """One row: bucket-size distribution + what ``max_bucket`` would drop —
+    the sizing companion to ``lsh_candidate_pairs``."""
+    sizes = (
+        lsh_band_rows(df, id_col, text, num_perms=num_perms, bands=bands, seed=seed)
+        .groupBy("band", "band_key").agg(F.count("*").alias("sz"))
+    )
+    dropped = (F.col("sz") > max_bucket) if max_bucket is not None else F.lit(False)
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("buckets_dropped"),
+        F.sum(F.when(dropped, F.col("sz")).otherwise(0)).alias("rows_dropped"),
+        F.sum(F.when(dropped, F.col("sz") * F.col("sz")).otherwise(0)).alias("pairs_avoided"),
+    )
 
 
 def simhash(text: str = "text", *, bits: int = SIMHASH_BITS) -> Column:

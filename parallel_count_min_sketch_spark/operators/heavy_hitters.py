@@ -65,10 +65,22 @@ def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " ")
 
 def heavy_hitters_scalable(df, text_col: str, cfg: CMSConfig, phi: float, *,
                            k_per_partition: int | None = None) -> DataFrame:
-    """(token, cms_estimate) for every candidate with estimate >= phi*N.
+    """EXACT heavy hitters (token, exact_count, cms_estimate) at threshold
+    floor(phi*N), computed without ever shuffling the distinct-token
+    universe:
 
-    One pass builds the sketch (JVM path), one cheap pass collects
-    candidates; both read the same scan. N is the sketch's total mass.
+      1. sketch build (JVM path, one scan; shuffle bounded by depth*width);
+      2. per-partition top-k candidates (pigeonhole: with k >= 1/phi the
+         candidate union contains every true heavy hitter);
+      3. CMS prune: candidates with estimate < floor(phi*N) are dropped —
+         one-sidedness (est >= true) means no true HH is lost;
+      4. exact recount of the tiny surviving set (broadcast semi-join
+         against the token stream), final filter exact_count >= threshold.
+
+    Output therefore equals the exact heavy-hitter set regardless of
+    partitioning — value-checkable against a plain SQL GROUP BY oracle —
+    while every shuffle stays O(partitions*k + depth*width), never
+    O(distinct tokens).
     """
     if k_per_partition is None:
         k_per_partition = max(16, int(2.0 / phi))
@@ -84,9 +96,17 @@ def heavy_hitters_scalable(df, text_col: str, cfg: CMSConfig, phi: float, *,
     cands = candidate_tokens(df, text_col, k_per_partition) \
         .select("token").distinct()
     ests = point_query_join(table, cands, "token", cfg, probes_are_strings=True)
-    out = (
+    survivors = (
         ests.filter(F.col("cms_estimate") >= thresh)
         .select(F.col("item").alias("token"), "cms_estimate")
-        .orderBy(F.desc("cms_estimate"), "token")
     )
-    return out
+    exact = (
+        toks.join(F.broadcast(survivors), toks["tok"] == survivors["token"])
+        .groupBy("token", "cms_estimate")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        exact.filter(F.col("exact_count") >= thresh)
+        .select("token", "exact_count", "cms_estimate")
+        .orderBy(F.desc("exact_count"), "token")
+    )

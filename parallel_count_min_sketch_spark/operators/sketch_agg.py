@@ -36,10 +36,36 @@ def _task_partition_id() -> int:
     return ctx.partitionId() if ctx is not None else -1
 
 
+def _weighted_update(sk, values: np.ndarray, weights: np.ndarray | None) -> int:
+    """Dispatch a (values, weights) chunk by the kernel's WEIGHTED protocol:
+      'native'    update_batch(values, weights) — CMS, t-digest
+      'invariant' duplicates don't change the state (HLL, Bloom): weights
+                  are dropped, which is EXACT for these kernels
+      'repeat'    expand by repetition (KLL) — exact but O(sum(weights));
+                  meant for modest pre-aggregated counts
+    Returns the logical row count consumed."""
+    if weights is None:
+        sk.update_batch(values)
+        return len(values)
+    mode = getattr(sk, "WEIGHTED", "repeat")
+    if mode == "native":
+        sk.update_batch(values, weights)
+    elif mode == "invariant":
+        sk.update_batch(values)
+    else:
+        sk.update_batch(np.repeat(values, weights))
+    return int(weights.sum())
+
+
 def sketch_partials(df, col: str, make_sketch: Callable, *,
+                    weight_col: str | None = None,
                     string_items: bool = False, as_float: bool = False):
-    """One serialized partial sketch per input partition."""
-    proj = df.select(col)
+    """One serialized partial sketch per input partition. ``weight_col``
+    feeds pre-aggregated ``(item, count)`` inputs — the common production
+    shape — through the same rails (exactness per kernel documented in
+    ``_weighted_update``)."""
+    cols = [col] + ([weight_col] if weight_col else [])
+    proj = df.select(*cols)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
@@ -48,7 +74,14 @@ def sketch_partials(df, col: str, make_sketch: Callable, *,
         for batch in batches:
             c = batch.column(0)
             if c.null_count:
-                c = c.drop_null()
+                keep = c.is_valid()
+                batch = batch.filter(keep)
+                c = batch.column(0)
+            w_all = (
+                batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                if weight_col
+                else None
+            )
             for lo in range(0, len(c), _CHUNK):
                 chunk = c.slice(lo, _CHUNK)
                 if string_items:
@@ -57,8 +90,8 @@ def sketch_partials(df, col: str, make_sketch: Callable, *,
                     values = chunk.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
                 else:
                     values = chunk.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-                sk.update_batch(values)
-                rows += len(values)
+                w = w_all[lo:lo + _CHUNK] if w_all is not None else None
+                rows += _weighted_update(sk, values, w)
         yield pa.RecordBatch.from_pydict(
             {
                 "partition_id": [_task_partition_id()],
@@ -84,7 +117,98 @@ def merge_sketch_partials(partials_df, from_bytes: Callable, *, depth: int | Non
 
 
 def build_sketch(df, col: str, make_sketch: Callable, from_bytes: Callable, *,
+                 weight_col: str | None = None,
                  string_items: bool = False, as_float: bool = False):
-    partials = sketch_partials(df, col, make_sketch,
+    partials = sketch_partials(df, col, make_sketch, weight_col=weight_col,
                                string_items=string_items, as_float=as_float)
     return merge_sketch_partials(partials, from_bytes)
+
+
+# ---------------------------------------------------------------------------
+# Per-group sketches on the generic rails (one HLL per lang, one KLL per
+# host, ...). Same two-phase, skew-proof shape as operators/agg.cms_grouped:
+# phase 1 emits bounded per-(partition, group) partials; phase 2 shuffles
+# only those small rows and merges per group.
+# ---------------------------------------------------------------------------
+GROUPED_SCHEMA = "group STRING, rows_seen LONG, sketch BINARY"
+_GROUPED_PA = pa.schema(
+    [("group", pa.string()), ("rows_seen", pa.int64()), ("sketch", pa.binary())]
+)
+
+
+def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable, *,
+                            string_items: bool = False, as_float: bool = False):
+    proj = df.select(group_col, col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
+        tune_allocator()
+        sketches: dict[str, object] = {}
+        counts: dict[str, int] = {}
+        for batch in batches:
+            if batch.column(0).null_count or batch.column(1).null_count:
+                keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
+                batch = batch.filter(keep)
+            if batch.num_rows == 0:
+                continue
+            vals_col = batch.column(1)
+            if string_items:
+                values = djb2_batch(vals_col)
+            elif as_float:
+                values = vals_col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            else:
+                values = vals_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            enc = pc.dictionary_encode(batch.column(0))
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            key_by_code = enc.dictionary.to_pylist()
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            sorted_values = values[order]
+            uniq, starts = np.unique(sorted_codes, return_index=True)
+            bounds = np.append(starts, len(sorted_codes))
+            for code, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+                g = key_by_code[code]
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = make_sketch()
+                    sketches[g] = sk
+                    counts[g] = 0
+                sk.update_batch(sorted_values[lo:hi])
+                counts[g] += int(hi - lo)
+        if sketches:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "group": list(sketches.keys()),
+                    "rows_seen": [counts[g] for g in sketches],
+                    "sketch": [sketches[g].to_bytes() for g in sketches],
+                },
+                schema=_GROUPED_PA,
+            )
+
+    return proj.mapInArrow(fold, GROUPED_SCHEMA)
+
+
+def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
+                   from_bytes: Callable, *, string_items: bool = False,
+                   as_float: bool = False):
+    """DataFrame[group, rows_seen, sketch]: one merged sketch per group."""
+    partials = sketch_grouped_partials(df, group_col, col, make_sketch,
+                                       string_items=string_items, as_float=as_float)
+
+    def merge_group(pdf):
+        import pandas as pd
+
+        out = None
+        for blob in pdf["sketch"]:
+            sk = from_bytes(bytes(blob))
+            out = sk if out is None else out.merge(sk)
+        return pd.DataFrame(
+            {
+                "group": [pdf["group"].iloc[0]],
+                "rows_seen": [int(pdf["rows_seen"].sum())],
+                "sketch": [out.to_bytes()],
+            }
+        )
+
+    return partials.groupBy("group").applyInPandas(merge_group, GROUPED_SCHEMA)

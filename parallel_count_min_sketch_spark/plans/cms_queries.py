@@ -249,17 +249,41 @@ SELECT tok AS token, COUNT(*) AS cnt FROM ({_DUCK_TOKENS}) GROUP BY tok ORDER BY
 
 
 def q_cms_heavy_hitters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path heavy hitters: per-partition candidate tracking instead of
-    a global distinct (rows-only check; the superset-of-true-HH guarantee is
-    asserted in pytest)."""
+    """Scale-path heavy hitters: per-partition candidate tracking + CMS
+    prune + exact recount of the tiny surviving set. The output is the
+    EXACT heavy-hitter set (partition-invariant), so the oracle checks it
+    value-for-value: exact counts via GROUP BY, estimates via hash replay."""
     from ..operators.heavy_hitters import heavy_hitters_scalable
 
     docs = load(spark, sf_dir, "documents")
     return heavy_hitters_scalable(docs, "text", CFG, HH_FRACTION)
 
 
+SQL_CMS_HEAVY_HITTERS_SCALABLE = f"""
+WITH toks AS ({_DUCK_TOKENS}),
+n AS (SELECT COUNT(*) AS n FROM toks),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok),
+hh AS (
+  SELECT tok, exact_count FROM counts, n
+  WHERE exact_count >= CAST(FLOOR({HH_FRACTION} * n.n) AS BIGINT)
+),
+ids AS (SELECT {djb2_sql_duckdb('tok')} AS item_id FROM toks),
+probes AS (SELECT tok AS item, {djb2_sql_duckdb('tok')} AS item_id FROM hh),
+buckets AS ({_duck_buckets_cte('item_id')}),
+probe_buckets AS ({_duck_probe_buckets()}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item
+)
+SELECT hh.tok AS token, hh.exact_count, CAST(pts.est AS BIGINT) AS cms_estimate
+FROM hh JOIN pts ON pts.item = hh.tok
+ORDER BY hh.exact_count DESC, token
+"""
+
+
 CMS_QUERIES = {
-    "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, None),
+    "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
     "cms_point_query": (q_cms_point_query, SQL_CMS_POINT_QUERY),
     "cms_range_query": (q_cms_range_query, SQL_CMS_RANGE_QUERY),

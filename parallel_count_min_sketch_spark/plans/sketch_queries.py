@@ -92,18 +92,73 @@ FROM regs GROUP BY bucket ORDER BY bucket
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL cardinality estimate next to the exact distinct count and the
-    in-bound flag (rows-only check; pytest asserts the bound)."""
+    """HLL cardinality, fully oracle-checked: the DuckDB twin replays the
+    registers exactly, rebuilds the estimator from the integer-exact scaled
+    inverse sum (see HyperLogLog.estimate_portable), and recomputes the
+    error-bound boolean — every output column is deterministic arithmetic
+    over state both engines derive independently."""
+    import math
+
     li = load(spark, sf_dir, "lineitem")
     sk = build_sketch(li, "l_partkey", _mk_hll, _hll_from_bytes)
     exact = li.select("l_partkey").distinct().count()
-    est = sk.estimate()
-    rel = abs(est - exact) / max(exact, 1)
-    ok = rel < 5 * (1.04 / np.sqrt(sk.m))
+    s, v, est = sk.estimate_portable()
+    thr = 5 * (1.04 / math.sqrt(sk.m))
+    ok = abs(est - float(exact)) / float(exact) < thr
     return spark.createDataFrame(
-        [(float(round(est, 3)), int(exact), float(round(rel, 6)), bool(ok))],
-        "hll_estimate DOUBLE, exact_distinct BIGINT, rel_error DOUBLE, within_bound BOOLEAN",
+        [(int(exact), int(v), int(s), int(math.floor(est)), bool(ok))],
+        "exact_distinct BIGINT, zero_registers BIGINT, scaled_inverse_sum BIGINT, "
+        "est_floor BIGINT, within_bound BOOLEAN",
     )
+
+
+def _hll_distinct_sql() -> str:
+    import math
+
+    from ..sketches.hll import HLL_SCALE_BITS, _alpha
+
+    hll = _mk_hll()
+    m = hll.m
+    a, b = hll.a, hll.b
+    h1 = affine_sql(int(a[0]), int(b[0]), "item_id")
+    h2 = affine_sql(int(a[1]), int(b[1]), "item_id")
+    alpha = _alpha(m)
+    scale = float(1 << HLL_SCALE_BITS)
+    thr = 5 * (1.04 / math.sqrt(m))
+    # CAST every float literal: DuckDB parses bare decimal literals as
+    # DECIMAL, whose fixed-point multiply overflows (and rounds differently
+    # than the IEEE doubles the Spark side uses).
+    raw = (f"(CAST({alpha!r} AS DOUBLE) * {m * m} * CAST({scale!r} AS DOUBLE) / s)")
+    return f"""
+WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
+hashed AS (SELECT {h1} AS h1, {h2} AS h2 FROM ids),
+regs AS (
+  SELECT h1 % {m} AS bucket,
+         CASE WHEN h2 = 0 THEN 32
+              ELSE CAST(log2(h2 & -h2) AS BIGINT) + 1 END AS rho
+  FROM hashed
+),
+reg_table AS (SELECT bucket, MAX(rho) AS register FROM regs GROUP BY bucket),
+stats AS (
+  SELECT CAST({m} - COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS BIGINT) AS s
+  FROM reg_table
+),
+exact AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem),
+est AS (
+  SELECT s, v,
+         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
+              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / v)
+              ELSE {raw} END AS e
+  FROM stats
+)
+SELECT exact.exact_distinct, est.v AS zero_registers, est.s AS scaled_inverse_sum,
+       CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
+       (abs(est.e - exact.exact_distinct) / exact.exact_distinct
+        < CAST({thr!r} AS DOUBLE)) AS within_bound
+FROM est, exact
+"""
 
 
 def _mk_bloom():
@@ -143,23 +198,61 @@ GROUP BY p.item ORDER BY p.item
 """
 
 
-def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantiles of lineitem.l_extendedprice (rows-only; pytest asserts
-    the rank-error bound against the exact distribution)."""
+KLL_RANK_EPS = 0.05  # merged-build bound asserted in tests/test_sketches_kernels.py
+TD_RANK_EPS = 0.02
+
+
+def _quantile_query(spark: SparkSession, sf_dir: str, mk, from_bytes,
+                    eps: float) -> DataFrame:
+    """Shared shape for the quantile-sketch contract queries: every output
+    column is either exact data arithmetic the DuckDB oracle replays
+    bit-for-bit (n, inverse-CDF discrete quantile — actual data values, no
+    interpolation) or the sketch's rank-error guarantee evaluated against
+    the exact distribution (|rank(est) - q| <= eps, TRUE by contract)."""
+    from ..operators.quantiles import exact_discrete_quantiles, exact_ranks_of_values
+
     li = load(spark, sf_dir, "lineitem")
-    sk = build_sketch(li, "l_extendedprice", _mk_kll, _kll_from_bytes, as_float=True)
-    vals = sk.quantile(np.array(QUANTS))
-    rows = [(float(q), float(v)) for q, v in zip(QUANTS, vals)]
-    return spark.createDataFrame(rows, "q DOUBLE, kll_value DOUBLE").orderBy("q")
+    sk = build_sketch(li, "l_extendedprice", mk, from_bytes, as_float=True)
+    est = sk.quantile(np.array(QUANTS))
+    n, ranks = exact_ranks_of_values(li, "l_extendedprice", est.tolist())
+    disc = exact_discrete_quantiles(li, "l_extendedprice", QUANTS, n=n)
+    rows = []
+    for (q, _r, v), rk in zip(disc, ranks):
+        rows.append((int(round(q * 100)), int(n), float(v), bool(abs(rk - q) <= eps)))
+    return spark.createDataFrame(
+        rows,
+        "q_pct BIGINT, n BIGINT, exact_disc_value DOUBLE, within_rank_bound BOOLEAN",
+    ).orderBy("q_pct")
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of lineitem.l_extendedprice, oracle-checked: the exact
+    discrete quantiles + n are replayed by DuckDB; the sketch estimates are
+    verified in-query against the exact ranks (within_rank_bound)."""
+    return _quantile_query(spark, sf_dir, _mk_kll, _kll_from_bytes, KLL_RANK_EPS)
 
 
 def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest quantiles of lineitem.l_extendedprice (rows-only)."""
-    li = load(spark, sf_dir, "lineitem")
-    sk = build_sketch(li, "l_extendedprice", _mk_td, _td_from_bytes, as_float=True)
-    vals = sk.quantile(np.array(QUANTS))
-    rows = [(float(q), float(v)) for q, v in zip(QUANTS, vals)]
-    return spark.createDataFrame(rows, "q DOUBLE, tdigest_value DOUBLE").orderBy("q")
+    """t-digest quantiles of lineitem.l_extendedprice (same oracle shape as
+    q_kll_quantiles, tighter rank bound)."""
+    return _quantile_query(spark, sf_dir, _mk_td, _td_from_bytes, TD_RANK_EPS)
+
+
+def _quantile_sql() -> str:
+    """Inverse-CDF discrete quantile at rank max(1, ceil(q*n)) — identical
+    IEEE expression to operators/quantiles.rank_of_quantile."""
+    qvals = ", ".join(f"({int(round(q * 100))}, CAST({q!r} AS DOUBLE))" for q in QUANTS)
+    return f"""
+WITH vals AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+qs AS (SELECT * FROM (VALUES {qvals}) v(q_pct, q)),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM vals)
+SELECT CAST(q.q_pct AS BIGINT) AS q_pct, nn.n AS n, r.x AS exact_disc_value,
+       TRUE AS within_rank_bound
+FROM qs q CROSS JOIN nn
+JOIN ranked r ON r.rn = GREATEST(1, CAST(CEIL(q.q * nn.n) AS BIGINT))
+ORDER BY q_pct
+"""
 
 
 def q_cms_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,6 +331,96 @@ def djb2_sql_duckdb_local(expr: str) -> str:
     return djb2_sql_duckdb(expr)
 
 
+def q_hll_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HLL per language over document tokens (generic grouped-sketch
+    rails, operators/sketch_agg.sketch_grouped) — registers, estimator, and
+    bound all replayed exactly per group by the DuckDB oracle."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ..operators.sketch_agg import sketch_grouped
+    from ..sketches.hll import HyperLogLog
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    grouped = sketch_grouped(toks, "lang", "tok", _mk_hll, _hll_from_bytes,
+                             string_items=True).collect()
+    exact = {
+        r["lang"]: r["d"]
+        for r in toks.groupBy("lang").agg(
+            F.countDistinct("tok").alias("d")).collect()
+    }
+    thr = 5 * (1.04 / math.sqrt(_mk_hll().m))
+    rows = []
+    for r in grouped:
+        sk = HyperLogLog.from_bytes(bytes(r["sketch"]))
+        s, v, est = sk.estimate_portable()
+        ex = int(exact[r["group"]])
+        ok = abs(est - float(ex)) / float(ex) < thr
+        rows.append((r["group"], ex, int(v), int(s), int(math.floor(est)), bool(ok)))
+    return spark.createDataFrame(
+        rows,
+        "lang STRING, exact_distinct BIGINT, zero_registers BIGINT, "
+        "scaled_inverse_sum BIGINT, est_floor BIGINT, within_bound BOOLEAN",
+    ).orderBy("lang")
+
+
+def _hll_grouped_sql() -> str:
+    import math
+
+    from ..config import djb2_sql_duckdb
+    from ..sketches.hll import HLL_SCALE_BITS, _alpha
+
+    hll = _mk_hll()
+    m = hll.m
+    a, b = hll.a, hll.b
+    h1 = affine_sql(int(a[0]), int(b[0]), "item_id")
+    h2 = affine_sql(int(a[1]), int(b[1]), "item_id")
+    alpha = _alpha(m)
+    scale = float(1 << HLL_SCALE_BITS)
+    thr = 5 * (1.04 / math.sqrt(m))
+    raw = f"(CAST({alpha!r} AS DOUBLE) * {m * m} * CAST({scale!r} AS DOUBLE) / s)"
+    return f"""
+WITH toks AS (
+  SELECT lang, tok FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+ids AS (SELECT lang, {djb2_sql_duckdb('tok')} AS item_id FROM toks),
+hashed AS (SELECT lang, {h1} AS h1, {h2} AS h2 FROM ids),
+regs AS (
+  SELECT lang, h1 % {m} AS bucket,
+         CASE WHEN h2 = 0 THEN 32
+              ELSE CAST(log2(h2 & -h2) AS BIGINT) + 1 END AS rho
+  FROM hashed
+),
+reg_table AS (SELECT lang, bucket, MAX(rho) AS register FROM regs GROUP BY 1, 2),
+stats AS (
+  SELECT lang, CAST({m} - COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS BIGINT) AS s
+  FROM reg_table GROUP BY lang
+),
+exact AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct FROM toks GROUP BY lang),
+est AS (
+  SELECT lang, s, v,
+         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
+              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / v)
+              ELSE {raw} END AS e
+  FROM stats
+)
+SELECT x.lang AS lang, x.exact_distinct, est.v AS zero_registers,
+       est.s AS scaled_inverse_sum, CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
+       (abs(est.e - x.exact_distinct) / x.exact_distinct
+        < CAST({thr!r} AS DOUBLE)) AS within_bound
+FROM exact x JOIN est USING (lang)
+ORDER BY lang
+"""
+
+
 DYADIC_SEED = 12345
 DYADIC_BASE = 16
 DYADIC_LEVELS = 8
@@ -311,8 +494,9 @@ SKETCH_QUERIES = {
     "cms_grouped_by_lang": (q_cms_grouped_by_lang, _sql_cms_grouped()),
     "dyadic_range_query": (q_dyadic_range_query, _sql_dyadic()),
     "hll_registers": (q_hll_registers, _hll_sql()),
-    "hll_distinct": (q_hll_distinct, None),
+    "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
+    "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
-    "kll_quantiles": (q_kll_quantiles, None),
-    "tdigest_quantiles": (q_tdigest_quantiles, None),
+    "kll_quantiles": (q_kll_quantiles, _quantile_sql()),
+    "tdigest_quantiles": (q_tdigest_quantiles, _quantile_sql()),
 }

@@ -105,11 +105,11 @@ FROM docs GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY digest
 
 
 def _duck_token_ids(text_expr: str) -> str:
+    """Distinct token ids via the byte-exact djb2 fold (same emitter as the
+    CMS oracle path — config.djb2_sql_duckdb)."""
     return (
         f"list_transform(list_distinct(list_filter(string_split({text_expr}, ' '), t -> t <> '')), "
-        f"t -> list_reduce(list_prepend(CAST(5381 AS BIGINT), "
-        f"list_transform(range(1, length(t) + 1), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT))), "
-        f"(h, c) -> (h * 33 + c) % {LONG_PRIME}))"
+        f"t -> {djb2_sql_duckdb('t')})"
     )
 
 
@@ -133,9 +133,13 @@ ORDER BY doc_id, perm
 """
 
 
+LSH_MAX_BUCKET = 64  # drop degenerate buckets (near-identical cliques)
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir)
-    return dd.lsh_candidate_pairs(docs, "doc_id").orderBy("id_a", "id_b")
+    return dd.lsh_candidate_pairs(docs, "doc_id", max_bucket=LSH_MAX_BUCKET) \
+        .orderBy("id_a", "id_b")
 
 
 def _sql_lsh_pairs() -> str:
@@ -155,7 +159,12 @@ def _sql_lsh_pairs() -> str:
 WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
 with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM docs),
 sigs AS (SELECT doc_id, {sig_cols} FROM with_ids),
-bands AS ({' UNION ALL '.join(band_keys)})
+bands_all AS ({' UNION ALL '.join(band_keys)}),
+sizes AS (SELECT band, band_key, COUNT(*) AS sz FROM bands_all GROUP BY 1, 2),
+bands AS (
+  SELECT b.* FROM bands_all b JOIN sizes s USING (band, band_key)
+  WHERE s.sz <= {LSH_MAX_BUCKET}
+)
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id

@@ -30,6 +30,7 @@ def bloom_dims(expected_items: int, fpp: float) -> tuple[int, int]:
 
 
 class BloomFilter:
+    WEIGHTED = "invariant"  # duplicate inserts are no-ops (bit OR)
     __slots__ = ("m", "k", "seed", "a", "b", "bits", "n_added")
 
     def __init__(self, expected_items: int = 10_000, fpp: float = 0.01, seed: int = 1,

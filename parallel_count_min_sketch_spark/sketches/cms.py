@@ -52,7 +52,9 @@ class CountMinSketch:
     happens (input_hint requirement).
     """
 
-    __slots__ = ("depth", "width", "seed", "epsilon", "delta", "a", "b", "table", "total")
+    WEIGHTED = "native"  # update_batch(items, counts) is weight-exact
+    __slots__ = ("depth", "width", "seed", "epsilon", "delta", "a", "b", "table", "total",
+                 "_qcache")
 
     def __init__(self, epsilon: float = 0.001, delta: float = 0.1, seed: int = 1,
                  table: np.ndarray | None = None, total: int = 0):
@@ -69,6 +71,7 @@ class CountMinSketch:
                 raise ValueError(f"table shape {table.shape} != {(self.depth, self.width)}")
             self.table = table
         self.total = int(total)
+        self._qcache = None  # lazily-built read-path cache for range_query
 
     # -- config identity ---------------------------------------------------
     def config_key(self) -> tuple[int, int, int]:
@@ -93,6 +96,7 @@ class CountMinSketch:
         items = np.asarray(items, dtype=np.int64)
         if items.size == 0:
             return
+        self._qcache = None
         h = self.buckets(items)
         if counts is None:
             for j in range(self.depth):
@@ -122,13 +126,66 @@ class CountMinSketch:
     def point_query_strings(self, tokens) -> np.ndarray:
         return self.point_query(djb2_batch(tokens))
 
+    def _read_cache(self):
+        """Python-int hash params + row lists for the scalar hot path.
+        Built lazily; invalidated by update/merge (anyone poking ``table``
+        directly must clear ``_qcache`` themselves)."""
+        if self._qcache is None:
+            self._qcache = list(zip(self.a.tolist(), self.b.tolist(), self.table.tolist()))
+        return self._qcache
+
     def range_query(self, start: int, end: int) -> int:
         """Sum of point queries over [start, end] inclusive — the
-        reference's naive O(range) semantics (src/core/count_min_sketch.c:47-53),
-        vectorized. (The reference does NOT implement dyadic ranges.)"""
+        reference's naive O(range) semantics (src/core/count_min_sketch.c:47-53).
+
+        Small ranges run as a pure-Python-int loop over cached row lists:
+        in this sandbox a numpy ufunc call costs 1.5-3.5us in dispatch
+        alone, so at 11 points the scalar loop (~9us) beats any vectorized
+        formulation (~12-30us). Large ranges switch to the vectorized path.
+        For query STREAMS use ``range_query_many`` — amortized it is ~100x
+        faster per range, the honest comparison with the reference's
+        repetition-loop benchmark (its 4.4us/query is one C loop iteration,
+        csv_results/benchmark_1000m_linear.csv)."""
         if end < start:
             return 0
+        if end - start + 1 <= 64:
+            w = self.width
+            cache = self._read_cache()
+            s = 0
+            for x in range(start, end + 1):
+                xm = x % MERSENNE_PRIME
+                m = None
+                for aj, bj, tj in cache:
+                    v = tj[((aj * xm + bj) % MERSENNE_PRIME) % w]
+                    if m is None or v < m:
+                        m = v
+                s += m
+            return s
         return int(self.point_query(np.arange(start, end + 1, dtype=np.int64)).sum())
+
+    def range_query_many(self, starts, ends) -> np.ndarray:
+        """Vectorized batch of range queries: one hash/gather pass over the
+        concatenated point domain + segment sums (np.add.reduceat). This is
+        the shape Spark executors use — per-query dispatch cost amortizes
+        to ~0."""
+        starts = np.atleast_1d(np.asarray(starts, dtype=np.int64))
+        ends = np.atleast_1d(np.asarray(ends, dtype=np.int64))
+        if starts.shape != ends.shape:
+            raise ValueError("starts/ends shape mismatch")
+        lengths = np.maximum(ends - starts + 1, 0)
+        total = int(lengths.sum())
+        if total == 0:
+            return np.zeros(starts.shape, dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        idx = np.arange(total, dtype=np.int64)
+        pts = idx - np.repeat(offsets, lengths) + np.repeat(starts, lengths)
+        ests = self.point_query(pts)
+        out = np.zeros(starts.shape, dtype=np.int64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            sums = np.add.reduceat(ests, offsets[nonempty])
+            out[nonempty] = sums
+        return out
 
     def multi_point_sum(self, tokens) -> int:
         """cms_range_query_str analog (src/core/count_min_sketch.c:55-61):
@@ -155,6 +212,7 @@ class CountMinSketch:
         """In-place element-wise add (MPI_Reduce(MPI_SUM) analog,
         src/mpi/mpiV2.c:163-175). Associative + commutative."""
         self._check_compatible(other)
+        self._qcache = None
         self.table += other.table
         self.total += other.total
         return self

@@ -26,6 +26,11 @@ _HEADER = struct.Struct("<4sIq")  # magic, precision, seed
 # rho comes from a 31-bit value; 0 maps past the top bit
 _MAX_RHO = 32
 
+# Fixed-point scale for the portable estimator: sum(2^-reg) is computed as
+# the exact integer sum(2^(SCALE_BITS - reg)); every term is integral since
+# reg <= 32 < 48, and the total stays < 2^60 for m <= 2^12 registers.
+HLL_SCALE_BITS = 48
+
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -38,6 +43,7 @@ def _alpha(m: int) -> float:
 
 
 class HyperLogLog:
+    WEIGHTED = "invariant"  # duplicates never change registers (max-merge)
     __slots__ = ("precision", "m", "seed", "a", "b", "registers")
 
     def __init__(self, precision: int = 12, seed: int = 1,

@@ -31,6 +31,7 @@ def _level_capacity(k: int, level: int, num_levels: int) -> int:
 
 
 class KLLSketch:
+    WEIGHTED = "repeat"  # weighted insert = repeat expansion (exact, O(sum w))
     __slots__ = ("k", "seed", "levels", "n", "_compactions")
 
     def __init__(self, k: int = 200, seed: int = 1):

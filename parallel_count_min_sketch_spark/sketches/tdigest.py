@@ -21,6 +21,7 @@ _BUFFER_FACTOR = 5
 
 
 class TDigest:
+    WEIGHTED = "native"  # update_batch(values, weights) is weight-exact
     __slots__ = ("compression", "means", "weights", "n", "_buf_vals", "_buf_weights")
 
     def __init__(self, compression: float = 100.0):

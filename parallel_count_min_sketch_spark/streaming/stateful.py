@@ -53,9 +53,18 @@ def stateful_grouped_cms(stream_df, group_col: str, text_col: str, cfg: CMSConfi
         for pdf in pdfs:
             texts = pdf[text_col].dropna()
             if len(texts):
-                joined = " ".join(texts.tolist())
-                tokens = [t for t in joined.split(" ") if t]
-                if tokens:
+                # tokenize in Arrow C kernels (split + flatten + filter),
+                # same hot path as operators/agg.cms_text_partials — no
+                # Python-level string concat or per-token loop
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                tokens = pc.list_flatten(
+                    pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+                )
+                if len(tokens):
+                    tokens = pc.filter(tokens, pc.not_equal(tokens, ""))
+                if len(tokens):
                     sk.update_batch(djb2_batch(tokens))
                     rows += len(tokens)
         state.update((sk.to_bytes(),))

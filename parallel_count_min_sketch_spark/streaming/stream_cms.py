@@ -17,6 +17,7 @@ event-time aggregation path with Spark built-ins.
 from __future__ import annotations
 
 import os
+import struct
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -24,22 +25,40 @@ from ..config import CMSConfig
 from ..operators.agg import cms_text_partials
 from ..sketches.cms import CountMinSketch
 
+_STATE_HEADER = struct.Struct("<4sq")  # magic, last applied batch_id
+_STATE_MAGIC = b"SCM1"
+
 
 class StreamingCMS:
-    """Accumulates a CMS over a streaming text column via foreachBatch."""
+    """Accumulates a CMS over a streaming text column via foreachBatch.
+
+    foreachBatch is at-least-once: after a driver crash between our state
+    write and Spark's offset commit, the same micro-batch is REPLAYED. The
+    state blob therefore carries the last applied batch_id, and
+    ``process_batch`` is a no-op for batch_id <= last applied — making the
+    merge effectively idempotent (exactly-once on the sketch contents).
+    """
 
     def __init__(self, cfg: CMSConfig, text_col: str = "text",
                  state_path: str | None = None):
         self.cfg = cfg
         self.text_col = text_col
         self.state_path = state_path
+        self.last_batch_id = -1
         self.sketch = self._load_state() or cfg.new_sketch()
         self.batches_seen = 0
 
     def _load_state(self) -> CountMinSketch | None:
         if self.state_path and os.path.exists(self.state_path):
             with open(self.state_path, "rb") as f:
-                return CountMinSketch.from_bytes(f.read(), self.cfg.epsilon, self.cfg.delta)
+                data = f.read()
+            magic, last_id = _STATE_HEADER.unpack_from(data, 0)
+            if magic != _STATE_MAGIC:
+                raise ValueError("not a StreamingCMS state blob")
+            self.last_batch_id = last_id
+            return CountMinSketch.from_bytes(
+                data[_STATE_HEADER.size:], self.cfg.epsilon, self.cfg.delta
+            )
         return None
 
     def _save_state(self) -> None:
@@ -47,16 +66,20 @@ class StreamingCMS:
             return
         tmp = self.state_path + ".tmp"
         with open(tmp, "wb") as f:
+            f.write(_STATE_HEADER.pack(_STATE_MAGIC, self.last_batch_id))
             f.write(self.sketch.to_bytes())
         os.replace(tmp, self.state_path)  # atomic on POSIX
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_batch_id:
+            return  # replayed micro-batch already merged — skip
         partials = cms_text_partials(batch_df, self.text_col, self.cfg).collect()
         for row in partials:
             self.sketch.merge(
                 CountMinSketch.from_bytes(bytes(row["sketch"]), self.cfg.epsilon, self.cfg.delta)
             )
         self.batches_seen += 1
+        self.last_batch_id = batch_id
         self._save_state()
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, *,

@@ -98,6 +98,28 @@ def test_config_mismatch_rejected(spark, ckpt_dir):
     other = CMSConfig(epsilon=0.01, delta=0.1, seed=999)
     with pytest.raises(ValueError, match="different config"):
         CheckpointedCMSBuild(other, ckpt_dir).run(df, "text")
-    # and a different partitioning is rejected too
-    with pytest.raises(ValueError, match="different config"):
+    # a shuffled input is rejected outright: partition contents shift with
+    # parallelism while the count stays fixed — resume would silently
+    # drop/double-count rows (ADVICE r1)
+    with pytest.raises(ValueError, match="lineage is unsound"):
         CheckpointedCMSBuild(CFG, ckpt_dir).run(df.repartition(3), "text")
+
+
+def test_salted_repartition_rejected(spark, ckpt_dir):
+    from parallel_count_min_sketch_spark.operators.skew import salted_repartition
+
+    df = salted_repartition(web_pages(spark, 100, seed=5, partitions=4), 4)
+    with pytest.raises(ValueError, match="lineage is unsound"):
+        CheckpointedCMSBuild(CFG, ckpt_dir).run(df, "text")
+
+
+def test_changed_input_files_rejected(spark, ckpt_dir, tmp_path):
+    src = str(tmp_path / "dataset")
+    web_pages(spark, 100, seed=5, partitions=2).write.mode("append").parquet(src)
+    df = spark.read.parquet(src)
+    CheckpointedCMSBuild(CFG, ckpt_dir).run(df, "text")
+    # new files land -> partition ids no longer line up with the lineage
+    web_pages(spark, 100, seed=6, partitions=2).write.mode("append").parquet(src)
+    df2 = spark.read.parquet(src)
+    with pytest.raises(ValueError, match="input files changed"):
+        CheckpointedCMSBuild(CFG, ckpt_dir).run(df2, "text")

@@ -53,6 +53,32 @@ def test_vectorized_matches_sequential_bytes():
     assert fast.inner_product(fast) == slow.inner_product(slow)
 
 
+def test_range_query_paths_agree():
+    """Scalar hot path (small ranges), vectorized path (large ranges), and
+    the batch API must all agree — and the scalar cache must invalidate on
+    update/merge."""
+    items = mixture_items(30000)
+    sk = CountMinSketch(0.01, 0.1, seed=7)
+    sk.update_batch(items)
+    vec = int(sk.point_query(np.arange(100, 111)).sum())
+    assert sk.range_query(100, 110) == vec  # scalar path (k <= 64)
+    wide = int(sk.point_query(np.arange(0, 201)).sum())
+    assert sk.range_query(0, 200) == wide  # vectorized path
+    starts = np.array([100, 0, 50, 60, 10])
+    ends = np.array([110, 200, 49, 60, 30])  # includes empty + single ranges
+    got = sk.range_query_many(starts, ends).tolist()
+    exp = [sk.range_query(int(s), int(e)) for s, e in zip(starts, ends)]
+    assert got == exp
+    # cache invalidation: post-update scalar path must match the vectorized
+    # path recomputed from the mutated table (not the stale cached rows)
+    sk.update_batch(np.full(7, 105, dtype=np.int64))
+    assert sk.range_query(100, 110) == int(sk.point_query(np.arange(100, 111)).sum())
+    other = CountMinSketch(0.01, 0.1, seed=7)
+    other.update_batch(np.full(3, 105, dtype=np.int64))
+    sk.merge(other)
+    assert sk.range_query(100, 110) == int(sk.point_query(np.arange(100, 111)).sum())
+
+
 def test_one_sided_guarantee_and_eps_bound():
     """Port of test_cms_accuracy (src/core/count_min_sketch.c:205-242):
     estimate >= true for ALL values (hard), err <= eps*N for >= 1-delta."""

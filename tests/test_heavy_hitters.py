@@ -27,11 +27,19 @@ def true_heavy_hitters(pages, phi):
     return {r["tok"] for r in rows}, n
 
 
-def test_no_false_negatives(spark, pages):
-    truth, _ = true_heavy_hitters(pages, PHI)
+def test_exact_heavy_hitter_set(spark, pages):
+    """Candidates superset + one-sided CMS prune + exact recount => the
+    output IS the exact heavy-hitter set with exact counts."""
+    truth, n = true_heavy_hitters(pages, PHI)
     assert truth, "fixture should plant heavy hitters"
-    got = {r["token"] for r in heavy_hitters_scalable(pages, "text", CFG, PHI).collect()}
-    assert truth.issubset(got), f"missed {truth - got}"
+    rows = heavy_hitters_scalable(pages, "text", CFG, PHI).collect()
+    got = {r["token"]: r["exact_count"] for r in rows}
+    assert set(got) == truth, f"missed {truth - set(got)} / extra {set(got) - truth}"
+    toks = pages.select(F.explode(F.split("text", " ")).alias("tok")).filter("tok != ''")
+    exact = {r["tok"]: r["count"] for r in toks.groupBy("tok").count().collect()}
+    for t, c in got.items():
+        assert c == exact[t]
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)  # one-sided
     # planted tokens are global heavy hitters at ~10% each
     assert {"tok123", "tok456"}.issubset(got)
 
@@ -45,9 +53,11 @@ def test_candidates_bounded_per_partition(spark, pages):
     assert all(r["local_count"] > 0 for r in cands)
 
 
-def test_partitioning_changes_candidates_not_hitters(spark, pages):
-    a = {r["token"] for r in heavy_hitters_scalable(pages, "text", CFG, PHI).collect()}
-    b = {r["token"] for r in
+def test_partitioning_invariant_output(spark, pages):
+    a = {(r["token"], r["exact_count"]) for r in
+         heavy_hitters_scalable(pages, "text", CFG, PHI).collect()}
+    b = {(r["token"], r["exact_count"]) for r in
          heavy_hitters_scalable(pages.repartition(11), "text", CFG, PHI).collect()}
     truth, _ = true_heavy_hitters(pages, PHI)
-    assert truth.issubset(a) and truth.issubset(b)
+    assert a == b
+    assert {t for t, _c in a} == truth

@@ -1,0 +1,133 @@
+"""Generic sketch rails: weighted (pre-aggregated) builds and per-group
+sketches must agree with the exploded / per-group sequential builds."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_count_min_sketch_spark.operators.sketch_agg import (
+    build_sketch,
+    sketch_grouped,
+)
+from parallel_count_min_sketch_spark.sketches.cms import CountMinSketch
+from parallel_count_min_sketch_spark.sketches.hll import HyperLogLog
+from parallel_count_min_sketch_spark.sketches.kll import KLLSketch
+from parallel_count_min_sketch_spark.sketches.tdigest import TDigest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ship_module(spark):
+    # factories below are pickled by reference to THIS module; make it
+    # importable on executors
+    spark.sparkContext.addPyFile(__file__)
+
+
+def _mk_cms():
+    return CountMinSketch(0.01, 0.1, seed=5)
+
+
+def _cms_from_bytes(b):
+    return CountMinSketch.from_bytes(b, 0.01, 0.1)
+
+
+def _mk_hll():
+    return HyperLogLog(10, seed=5)
+
+
+def _mk_kll():
+    return KLLSketch(200, seed=5)
+
+
+def _mk_td():
+    return TDigest(100.0)
+
+
+# module-level wrappers: bound classmethods pickle by value and trip over
+# module-level struct.Struct constants (same pattern as plans/sketch_queries)
+def _hll_from_bytes(b):
+    return HyperLogLog.from_bytes(b)
+
+
+def _kll_from_bytes(b):
+    return KLLSketch.from_bytes(b)
+
+
+def _td_from_bytes(b):
+    return TDigest.from_bytes(b)
+
+
+@pytest.fixture(scope="module")
+def weighted_df(spark):
+    rng = np.random.default_rng(7)
+    items = rng.integers(1, 400, size=600)
+    counts = rng.integers(1, 6, size=600)
+    rows = [(int(i), int(c)) for i, c in zip(items, counts)]
+    df = spark.createDataFrame(rows, "item BIGINT, cnt BIGINT").repartition(4)
+    exploded = df.select(
+        F.explode(F.expr("transform(sequence(1, cnt), x -> item)")).alias("item")
+    )
+    return df, exploded
+
+
+def test_weighted_cms_equals_exploded(spark, weighted_df):
+    df, exploded = weighted_df
+    w = build_sketch(df, "item", _mk_cms, _cms_from_bytes, weight_col="cnt")
+    e = build_sketch(exploded, "item", _mk_cms, _cms_from_bytes)
+    assert w.to_bytes() == e.to_bytes()  # CMS is weight-exact and order-free
+
+
+def test_weighted_hll_equals_exploded(spark, weighted_df):
+    df, exploded = weighted_df
+    w = build_sketch(df, "item", _mk_hll, _hll_from_bytes, weight_col="cnt")
+    e = build_sketch(exploded, "item", _mk_hll, _hll_from_bytes)
+    # duplicates are invariant for HLL -> identical registers
+    assert w.to_bytes() == e.to_bytes()
+
+
+def test_weighted_kll_counts_all_mass(spark, weighted_df):
+    df, _ = weighted_df
+    total = df.agg(F.sum("cnt")).collect()[0][0]
+    w = build_sketch(df, "item", _mk_kll, _kll_from_bytes,
+                     weight_col="cnt", as_float=False)
+    assert w.n == total  # repeat-expansion consumed every weighted row
+    # rank guarantee against the exact weighted distribution
+    rows = df.collect()
+    data = np.repeat([r["item"] for r in rows], [r["cnt"] for r in rows])
+    data.sort()
+    for q in (0.1, 0.5, 0.9):
+        est = float(w.quantile(np.array([q]))[0])
+        rank = np.searchsorted(data, est, side="right") / data.size
+        assert abs(rank - q) < 0.05
+
+
+def test_weighted_tdigest_native_weights(spark, weighted_df):
+    df, _ = weighted_df
+    w = build_sketch(df, "item", _mk_td, _td_from_bytes,
+                     weight_col="cnt", as_float=False)
+    rows = df.collect()
+    data = np.repeat([r["item"] for r in rows], [r["cnt"] for r in rows])
+    data.sort()
+    assert int(round(w.n)) == data.size
+    for q in (0.1, 0.5, 0.9):
+        est = float(w.quantile(np.array([q]))[0])
+        rank = np.searchsorted(data, est, side="right") / data.size
+        assert abs(rank - q) < 0.05
+
+
+def test_grouped_hll_matches_per_group_sequential(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (["en", "de", "fr"][int(g)], int(x))
+        for g, x in zip(rng.integers(0, 3, 3000), rng.integers(1, 500, 3000))
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, item BIGINT").repartition(5)
+    got = {
+        r["group"]: HyperLogLog.from_bytes(bytes(r["sketch"]))
+        for r in sketch_grouped(df, "lang", "item", _mk_hll,
+                                _hll_from_bytes).collect()
+    }
+    assert set(got) == {"en", "de", "fr"}
+    for lang in got:
+        exp = _mk_hll()
+        exp.update_batch(np.array([x for l, x in rows if l == lang]))
+        assert got[lang].to_bytes() == exp.to_bytes()

@@ -71,6 +71,26 @@ def test_stream_resume_from_state(spark, tmp_path):
     assert acc2.sketch.to_bytes() == expected.to_bytes()
 
 
+def test_replayed_batch_is_not_double_counted(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between our state write and
+    Spark's offset commit replays the micro-batch. The batch_id watermark
+    in the state blob must make the replay a no-op (ADVICE r1)."""
+    df = web_pages(spark, 60, seed=31, partitions=1)
+    state = str(tmp_path / "cms.bin")
+    acc = StreamingCMS(CFG, "text", state_path=state)
+    acc.process_batch(df, 0)
+    once = acc.sketch.to_bytes()
+    acc.process_batch(df, 0)  # replay on the live accumulator
+    assert acc.sketch.to_bytes() == once
+    # replay after a restart (state reloaded from disk) is also a no-op
+    acc2 = StreamingCMS(CFG, "text", state_path=state)
+    assert acc2.last_batch_id == 0
+    acc2.process_batch(df, 0)
+    assert acc2.sketch.to_bytes() == once
+    acc2.process_batch(df, 1)  # a genuinely new batch still merges
+    assert acc2.sketch.to_bytes() != once
+
+
 def test_windowed_token_counts_matches_batch(spark, tmp_path, staged_pages):
     src, both, _, _ = staged_pages
     schema = spark.read.parquet(src).schema

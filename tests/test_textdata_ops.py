@@ -110,6 +110,43 @@ def test_lsh_finds_planted_dups(spark):
     assert len(pairs) < 200
 
 
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A hot bucket (hundreds of identical docs) must be droppable: with the
+    cap, the s^2 blowup never reaches the self-join; stats report the drop."""
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(5000)]
+    normal = []
+    for i in range(20):
+        toks = rng.choice(vocab, size=50, replace=False)
+        normal.append((i, " ".join(toks)))
+    hot = [(1000 + i, "boiler plate empty page") for i in range(300)]
+    df = spark.createDataFrame(normal + hot, "doc_id LONG, text STRING").repartition(4)
+
+    capped = dd.lsh_candidate_pairs(df, "doc_id", max_bucket=50).collect()
+    # the 300-doc clique is gone; only organic pairs (if any) remain
+    hot_ids = {1000 + i for i in range(300)}
+    assert not any(r["id_a"] in hot_ids and r["id_b"] in hot_ids for r in capped)
+
+    stats = dd.lsh_bucket_stats(df, "doc_id", max_bucket=50).collect()[0]
+    assert stats["max_bucket_size"] == 300
+    assert stats["buckets_dropped"] >= 1
+    assert stats["rows_dropped"] >= 300
+    assert stats["pairs_avoided"] >= 300 * 300
+
+    # uncapped still works at this scale and contains the clique pairs
+    uncapped = dd.lsh_candidate_pairs(df, "doc_id").collect()
+    assert len(uncapped) >= (300 * 299) // 2
+
+
+def test_token_id_set_byte_exact_on_unicode(spark):
+    """The HOF token ids must equal the numpy byte fold for non-ASCII."""
+    from parallel_count_min_sketch_spark.sketches.hashing import djb2_py
+
+    df = spark.createDataFrame([("héllo 日本語 café",)], "text STRING")
+    ids = df.select(dd.token_id_set("text").alias("ids")).collect()[0]["ids"]
+    assert sorted(ids) == sorted(djb2_py(t) for t in ["héllo", "日本語", "café"])
+
+
 def test_simhash_near_dup_small_hamming(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = base.replace("tok3 ", "tok3x ")  # one token changed
