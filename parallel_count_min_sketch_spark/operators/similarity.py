@@ -117,10 +117,10 @@ def cosine_topk_pandas(df: DataFrame, id_col: str, vec_col: str, query_ids: list
     )
 
 
-def _plane_expr(plane: int, dim: int, vec_col: str):
+def _plane_expr(plane: int, dim: int, vec_col: str, seed: int = LSH_SEED):
     """Deterministic pseudo-random hyperplane component from the seeded
     affine family: p(plane, d) in [-0.5, 0.5)."""
-    a, b = affine_params(LSH_SEED, 1)
+    a, b = affine_params(seed, 1)
     aj, bj = int(a[0]), int(b[0])
 
     def comp(d: int):
@@ -131,16 +131,95 @@ def _plane_expr(plane: int, dim: int, vec_col: str):
     return [comp(d) for d in range(dim)]
 
 
-def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8):
-    """Sign-bit bucket key from n seeded hyperplanes (JVM expression)."""
+def _table_seed(table: int) -> int:
+    return LSH_SEED + 7919 * table
+
+
+def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8, *, seed: int = LSH_SEED):
+    """Sign-bit bucket key from n seeded hyperplanes (JVM expression).
+
+    The per-plane dot product is a zip_with/aggregate fold over a literal
+    weight array — NOT a chain of dim scalar adds, which at dim=64 x 8
+    planes x multiple tables generates a method too large for janino
+    (whole-stage-codegen crash). The fold evaluates ((0+p1)+p2)+...
+    left-to-right, the exact order the DuckDB oracle replays."""
     key = F.lit(0).cast("bigint")
     for i in range(n_planes):
-        plane = _plane_expr(i, dim, vec_col)
-        dot = F.lit(0.0)
-        for d, w in enumerate(plane):
-            dot = dot + F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(w)
+        plane = _plane_expr(i, dim, vec_col, seed)
+        warr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), warr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
         key = key + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
     return key
+
+
+def lsh_ann_topk_multiprobe(df: DataFrame, id_col: str, vec_col: str,
+                            query_ids: list[int], dim: int, k: int = 5,
+                            n_planes: int = 8, n_tables: int = 2,
+                            probe_flips: int = 1) -> DataFrame:
+    """Recall-controllable ANN: ``n_tables`` independent hyperplane tables
+    (per-table seeds) and multi-probe within each table (query probes its
+    own bucket plus every bucket at Hamming distance <= ``probe_flips``,
+    single-bit flips). Candidates are the union across tables/probes,
+    deduped, then scored exactly.
+
+    Scale shape: the corpus materializes one (table, bucket) row per table
+    per vector — a narrow map, no shuffle of vectors; the probe side is
+    |queries| * n_tables * (1 + n_planes*probe_flips) tiny rows, broadcast.
+    Recall rises with tables/probes at linear candidate cost, the standard
+    knob the single-table variant lacks (recall measured vs brute force in
+    tests/test_textdata_ops.py)."""
+    if probe_flips not in (0, 1):
+        raise ValueError("probe_flips of 0 or 1 supported (single-bit multiprobe)")
+    table_buckets = [
+        lsh_bucket(vec_col, dim, n_planes, seed=_table_seed(t)).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    bucketed = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+                         *table_buckets)
+    corpus = bucketed.select(
+        "nid", "nvec",
+        F.posexplode(F.array(*[F.col(f"_b{t}") for t in range(n_tables)]))
+        .alias("tbl", "bucket"),
+    )
+    q_base = bucketed.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
+        *[F.col(f"_b{t}") for t in range(n_tables)],
+    )
+    q_long = q_base.select(
+        "qid", "qvec",
+        F.posexplode(F.array(*[F.col(f"_b{t}") for t in range(n_tables)]))
+        .alias("tbl", "home"),
+    )
+    probe_keys = [F.col("home")]
+    if probe_flips == 1:
+        probe_keys += [
+            F.col("home").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+            for i in range(n_planes)
+        ]
+    probes = q_long.select(
+        "qid", "qvec", "tbl",
+        F.explode(F.array(*probe_keys)).alias("bucket"),
+    )
+    joined = (
+        corpus.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "qvec", "nid", "nvec")
+        .dropDuplicates(["qid", "nid"])
+    )
+    sim = (_dot(F.col("qvec"), F.col("nvec"))
+           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    scored = joined.select("qid", "nid", sim)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank",
+                F.col("nid").alias("neighbor_id"),
+                F.floor(F.col("cos") * 10000.0).cast("bigint").alias("cosine_bp"))
+    )
 
 
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],

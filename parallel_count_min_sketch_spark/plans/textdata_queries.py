@@ -258,6 +258,88 @@ FROM ranked WHERE rank <= {KNN_K} ORDER BY query_id, rank
 """
 
 
+ANN_DIM = 64
+ANN_K = 5
+ANN_PLANES = 8
+ANN_TABLES = 2
+
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table multi-probe LSH ANN over the embeddings table — fully
+    deterministic (seed-derived hyperplanes, exact rescoring of the
+    candidate union), so the oracle replays plane signs, probe buckets,
+    and the cosine ranking value-for-value."""
+    from ..operators.similarity import lsh_ann_topk_multiprobe
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk_multiprobe(
+        emb, "vec_id", "embedding", KNN_QUERIES, dim=ANN_DIM, k=ANN_K,
+        n_planes=ANN_PLANES, n_tables=ANN_TABLES, probe_flips=1,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_multiprobe() -> str:
+    from ..operators.similarity import _plane_expr, _table_seed
+
+    def bucket_sql(tbl: int) -> str:
+        bits = []
+        for i in range(ANN_PLANES):
+            w = _plane_expr(i, ANN_DIM, "embedding", _table_seed(tbl))
+            dot = "CAST(0 AS DOUBLE)"
+            for d, wd in enumerate(w):
+                dot = f"({dot} + embedding[{d + 1}] * CAST({wd!r} AS DOUBLE))"
+            bits.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) "
+                        f"ELSE CAST(0 AS BIGINT) END)")
+        return " + ".join(bits)
+
+    corpus_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bucketed"
+        for t in range(ANN_TABLES)
+    )
+    qlong_rows = " UNION ALL ".join(
+        f"SELECT vec_id AS qid, {t} AS tbl, b{t} AS home FROM bucketed "
+        f"WHERE vec_id IN ({', '.join(str(x) for x in KNN_QUERIES)})"
+        for t in range(ANN_TABLES)
+    )
+    probe_rows = " UNION ALL ".join(
+        ["SELECT qid, tbl, home AS bucket FROM qlong"]
+        + [f"SELECT qid, tbl, xor(home, CAST({1 << i} AS BIGINT)) AS bucket FROM qlong"
+           for i in range(ANN_PLANES)]
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {', '.join(f'{bucket_sql(t)} AS b{t}' for t in range(ANN_TABLES))}
+  FROM embeddings
+),
+corpus AS ({corpus_rows}),
+qlong AS ({qlong_rows}),
+probes AS ({probe_rows}),
+cands AS (
+  SELECT DISTINCT p.qid, c.vec_id AS nid
+  FROM corpus c JOIN probes p ON c.tbl = p.tbl AND c.bucket = p.bucket
+  WHERE c.vec_id <> p.qid
+),
+scored AS (
+  SELECT cands.qid, cands.nid,
+         list_dot_product(qe.embedding, ne.embedding) /
+         (sqrt(list_dot_product(qe.embedding, qe.embedding)) *
+          sqrt(list_dot_product(ne.embedding, ne.embedding))) AS cos
+  FROM cands
+  JOIN embeddings qe ON qe.vec_id = cands.qid
+  JOIN embeddings ne ON ne.vec_id = cands.nid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       CAST(FLOOR(cos * 10000.0) AS BIGINT) AS cosine_bp
+FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed counts by event type — the batch expression
     of the streaming aggregation (streaming/ runs the same plan on a
@@ -313,6 +395,7 @@ TEXTDATA_QUERIES = {
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
+    "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
 }

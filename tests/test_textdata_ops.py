@@ -212,6 +212,50 @@ def test_lsh_ann_recall_on_clustered_data(spark):
     assert hits >= 3, f"LSH recall too low: {hits}/5"
 
 
+def test_multiprobe_ann_beats_single_table(spark):
+    """Multi-table + single-bit multiprobe must reach >=0.9 top-k recall on
+    the clustered fixture and dominate the single-table variant."""
+    from parallel_count_min_sketch_spark.operators.similarity import (
+        lsh_ann_topk_multiprobe,
+    )
+
+    rng = np.random.default_rng(1)
+    dim = 16
+    bases = rng.normal(size=(20, dim))
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(6):
+            v = b + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = [0, 6, 12, 18, 24, 30, 36, 42, 48, 54]
+    k = 3
+
+    def topk_sets(rows_):
+        out: dict[int, set] = {}
+        for r in rows_:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk(df, "vec_id", "embedding", queries, k=k).collect())
+    single = topk_sets(lsh_ann_topk(df, "vec_id", "embedding", queries,
+                                    dim=dim, k=k).collect())
+    multi = topk_sets(lsh_ann_topk_multiprobe(df, "vec_id", "embedding", queries,
+                                              dim=dim, k=k, n_tables=2,
+                                              probe_flips=1).collect())
+
+    def recall(approx):
+        hit = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        tot = sum(len(exact[q]) for q in exact)
+        return hit / tot
+
+    r1, rm = recall(single), recall(multi)
+    assert rm >= 0.9, f"multiprobe recall {rm}"
+    assert rm >= r1, f"multiprobe {rm} < single-table {r1}"
+
+
 # ---------------------------- multimodal ------------------------------------
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
