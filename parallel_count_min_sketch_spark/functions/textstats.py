@@ -44,6 +44,17 @@ def stopword_ratio_bp(text: str = "text") -> Column:
     return F.floor(stopword_count(text) * 10000.0 / F.greatest(n_tokens(text), F.lit(1))).cast("bigint")
 
 
+# Subword-ish tokenizer pattern (BPE-style pre-tokenization): letter runs,
+# digit runs, and single non-alphanumeric marks. Restricted to constructs
+# that mean the same thing in Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: str = "text") -> Column:
+    """Subword-count proxy: matches of BPE_ISH_PATTERN (JVM regexp_count)."""
+    return F.expr(f"regexp_count({text}, '{BPE_ISH_PATTERN}')").cast("bigint")
+
+
 def quality_score_bp(text: str = "text") -> Column:
     """Deterministic quality score in basis points: rewards mid-length docs
     and presence of stopwords (webtext heuristics: too-short and
@@ -116,6 +127,12 @@ def duck_avg_token_len_bp(text_expr: str = "text") -> str:
     return (
         f"CAST(FLOOR(list_sum(list_transform({toks}, t -> CAST(length(t) AS BIGINT))) * 100.0 "
         f"/ GREATEST(len({toks}), 1)) AS BIGINT)"
+    )
+
+
+def duck_bpe_ish_token_count(text_expr: str = "text") -> str:
+    return (
+        f"CAST(len(regexp_extract_all({text_expr}, '{BPE_ISH_PATTERN}')) AS BIGINT)"
     )
 
 

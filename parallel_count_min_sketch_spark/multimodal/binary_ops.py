@@ -65,6 +65,58 @@ def decode_image_stub(data: bytes, *, fake: bool = False) -> np.ndarray:
     return arr.reshape(4, 4, 3)
 
 
+def resize_stub(img: np.ndarray, h: int, w: int, *, fake: bool = False) -> np.ndarray:
+    """Resize placeholder (real deployment: PIL/cv2 interpolation). The fake
+    path is a deterministic nearest-neighbor index map — correct output
+    shape/dtype, stable across executors."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize libs are not available in this environment; "
+            "pass fake=True for the deterministic test double"
+        )
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
+def sample_frames(df: DataFrame, bin_col: str, id_col: str, *, n_frames: int = 4,
+                  fake_decode: bool = True) -> DataFrame:
+    """Video frame-sampling plumbing: (id, frame_idx, frame_feat). One input
+    row fans out to ``n_frames`` output rows — the real production shape
+    (row-expanding Arrow kernel, list<float> features per frame). The
+     'video decode' is the stub applied to deterministic byte slices; a real
+    deployment swaps in ffmpeg keyframe extraction."""
+    out_schema = "id BIGINT, frame_idx INT, frame_feat ARRAY<FLOAT>"
+    proj = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("data"))
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            blobs = batch.column(1).to_pylist()
+            out_id, out_idx, out_feat = [], [], []
+            for i, blob in zip(ids, blobs):
+                blob = blob or b""
+                # deterministic "frame" byte ranges (stand-in for keyframes)
+                step = max(1, len(blob) // n_frames)
+                for f in range(n_frames):
+                    chunk = blob[f * step:(f + 1) * step] or b"\x00"
+                    img = decode_image_stub(chunk, fake=fake_decode)
+                    thumb = resize_stub(img, 2, 2, fake=fake_decode)
+                    out_id.append(i)
+                    out_idx.append(f)
+                    out_feat.append(thumb.mean(axis=(0, 1)).astype(np.float32).tolist())
+            yield pa.RecordBatch.from_pydict(
+                {"id": out_id, "frame_idx": out_idx, "frame_feat": out_feat},
+                schema=pa.schema([
+                    ("id", pa.int64()), ("frame_idx", pa.int32()),
+                    ("frame_feat", pa.list_(pa.float32())),
+                ]),
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
 def extract_features(df: DataFrame, bin_col: str, id_col: str, *,
                      fake_decode: bool = True) -> DataFrame:
     """Arrow-batched decode + feature extraction: (id, mean_intensity_bp,

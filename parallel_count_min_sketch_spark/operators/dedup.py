@@ -195,3 +195,27 @@ def exact_dup_groups(df: DataFrame, id_col: str, text: str = "text") -> DataFram
         .agg(F.countDistinct("_id").alias("n_docs"), F.min("_id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dedup_keep_canonical(df: DataFrame, id_col: str, text: str = "text") -> DataFrame:
+    """The cleaned corpus: one row per distinct text, keeping the minimum id
+    (keep-first policy). This is the operator a training-data pipeline
+    actually runs; ``exact_dup_groups`` is its reporting companion.
+
+    Plan shape: one shuffle on the 128-bit digest (groupBy min) + a
+    broadcast-free semi-join back on (digest, id) — at 100 TB the heavy
+    relation shuffles once on a uniform key, no skew (identical docs all
+    land on one digest, but the aggregation is partial/final so the hot
+    digest reduces map-side)."""
+    hashed = df.withColumn("_digest", F.md5(F.col(text)))
+    keepers = (
+        hashed.groupBy("_digest").agg(F.min(F.col(id_col)).alias("_keep_id"))
+    )
+    return (
+        hashed.join(
+            keepers,
+            (hashed["_digest"] == keepers["_digest"])
+            & (hashed[id_col] == keepers["_keep_id"]),
+        )
+        .select(*[hashed[c] for c in df.columns])
+    )

@@ -222,6 +222,54 @@ def lsh_ann_topk_multiprobe(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str, dim: int, *,
+                        threshold_bp: int = 9500, n_planes: int = 8,
+                        n_tables: int = 2, max_bucket: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analog of
+    MinHash-LSH dedup: candidates are pairs co-bucketed in ANY of the
+    ``n_tables`` hyperplane tables (union, deduped), then rescored exactly
+    and kept when cosine >= threshold (basis points).
+
+    Never all-pairs: the only shuffle is on (table, bucket); a cosine-
+    similar pair collides in at least one table with high probability
+    (P(same bucket) = (1 - theta/pi)^n_planes per table). ``max_bucket``
+    drops degenerate buckets like the text-LSH cap."""
+    table_buckets = [
+        lsh_bucket(vec_col, dim, n_planes, seed=_table_seed(t)).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    bucketed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+                         *table_buckets)
+    long = bucketed.select(
+        "_id", "_vec",
+        F.posexplode(F.array(*[F.col(f"_b{t}") for t in range(n_tables)]))
+        .alias("tbl", "bucket"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("tbl", "bucket")
+        long = (
+            long.withColumn("_sz", F.count("*").over(w))
+            .filter(F.col("_sz") <= max_bucket).drop("_sz")
+        )
+    left = long.select("tbl", "bucket", F.col("_id").alias("id_a"),
+                       F.col("_vec").alias("vec_a"))
+    right = long.select("tbl", "bucket", F.col("_id").alias("id_b"),
+                        F.col("_vec").alias("vec_b"))
+    cands = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = (_dot(F.col("vec_a"), F.col("vec_b"))
+           / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))))
+    return (
+        cands.select("id_a", "id_b",
+                     F.floor(cos * 10000.0).cast("bigint").alias("cosine_bp"))
+        .filter(F.col("cosine_bp") >= threshold_bp)
+    )
+
+
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
                  dim: int, k: int = 5, n_planes: int = 8) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import textstats as ts
 from ..operators import dedup as dd
 from ..operators.similarity import cosine_topk
-from ..sketches.hashing import LONG_PRIME, MERSENNE_PRIME, affine_params
+from ..sketches.hashing import MERSENNE_PRIME, affine_params
 from ..sources.tables import load
 from ..config import djb2_sql_duckdb
 
@@ -48,6 +48,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         ts.n_tokens("text").alias("n_tokens"),
+        ts.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
         ts.avg_token_len_bp("text").alias("avg_token_len_bp"),
         ts.stopword_ratio_bp("text").alias("stopword_ratio_bp"),
         ts.quality_score_bp("text").alias("quality_score_bp"),
@@ -57,6 +58,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_QUALITY = f"""
 SELECT doc_id,
        {ts.duck_n_tokens('text')} AS n_tokens,
+       {ts.duck_bpe_ish_token_count('text')} AS bpe_ish_tokens,
        {ts.duck_avg_token_len_bp('text')} AS avg_token_len_bp,
        {ts.duck_stopword_ratio_bp('text')} AS stopword_ratio_bp,
        {ts.duck_quality_score_bp('text')} AS quality_score_bp
@@ -101,6 +103,23 @@ SELECT md5(text) AS digest,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        MIN(doc_id) AS keep_id
 FROM docs GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1 ORDER BY digest
+"""
+
+
+def q_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus after exact dedup (keep-min-id policy) — the
+    pipeline-facing operator; returns the surviving doc ids."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return dd.dedup_keep_canonical(docs, "doc_id").select("doc_id").orderBy("doc_id")
+
+
+SQL_DEDUP_KEPT_DOCS = f"""
+WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
+hashed AS (SELECT doc_id, md5(text) AS digest FROM docs),
+keepers AS (SELECT digest, MIN(doc_id) AS keep_id FROM hashed GROUP BY digest)
+SELECT h.doc_id FROM hashed h JOIN keepers k
+  ON k.digest = h.digest AND k.keep_id = h.doc_id
+ORDER BY doc_id
 """
 
 
@@ -340,15 +359,98 @@ FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
 
 
+NEAR_DUP_THRESHOLD_BP = 9500
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table with
+    planted duplicates (every 10th vector copied under a shifted id) —
+    LSH-bucketed candidates, exact rescoring, threshold filter. Oracle
+    replays buckets + cosine exactly."""
+    from ..operators.similarity import embedding_near_dups
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + DUP_OFFSET).alias("vec_id"), "embedding")
+    both = emb.unionByName(dups)
+    return embedding_near_dups(
+        both, "vec_id", "embedding", dim=ANN_DIM,
+        threshold_bp=NEAR_DUP_THRESHOLD_BP, n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_near_dups() -> str:
+    from ..operators.similarity import _plane_expr, _table_seed
+
+    def bucket_sql(tbl: int) -> str:
+        bits = []
+        for i in range(ANN_PLANES):
+            w = _plane_expr(i, ANN_DIM, "embedding", _table_seed(tbl))
+            dot = "CAST(0 AS DOUBLE)"
+            for d, wd in enumerate(w):
+                dot = f"({dot} + embedding[{d + 1}] * CAST({wd!r} AS DOUBLE))"
+            bits.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) "
+                        f"ELSE CAST(0 AS BIGINT) END)")
+        return " + ".join(bits)
+
+    long_rows = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, b{t} AS bucket FROM bucketed"
+        for t in range(ANN_TABLES)
+    )
+
+    # replicate Spark's _dot EXACTLY: left fold of double products starting
+    # at 0.0 (list_dot_product rounds differently and flips floor(cos*1e4)
+    # at the cos=1 boundary for identical vectors)
+    def fold_dot(a: str, b: str) -> str:
+        prods = (f"list_transform(range(1, {ANN_DIM} + 1), "
+                 f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+        return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), (acc, v) -> acc + v)"
+
+    cos = (f"{fold_dot('a.embedding', 'b.embedding')} / "
+           f"(sqrt({fold_dot('a.embedding', 'a.embedding')}) * "
+           f"sqrt({fold_dot('b.embedding', 'b.embedding')}))")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET} AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+),
+bucketed AS (
+  SELECT vec_id, embedding,
+         {', '.join(f'{bucket_sql(t)} AS b{t}' for t in range(ANN_TABLES))}
+  FROM emb
+),
+long AS ({long_rows}),
+cands AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM long l JOIN long r ON l.tbl = r.tbl AND l.bucket = r.bucket
+  WHERE l.vec_id < r.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(FLOOR(({cos}) * 10000.0) AS BIGINT) AS cosine_bp
+  FROM cands c
+  JOIN emb a ON a.vec_id = c.id_a
+  JOIN emb b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine_bp FROM scored
+WHERE cosine_bp >= {NEAR_DUP_THRESHOLD_BP}
+ORDER BY id_a, id_b
+"""
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed counts by event type — the batch expression
     of the streaming aggregation (streaming/ runs the same plan on a
     stream)."""
     ev = load(spark, sf_dir, "events")
+    # cents are rounded PER EVENT then integer-summed: a float SUM would be
+    # partition-order dependent at the ulp level and could flip the floor
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"),
-             F.floor(F.sum("value") * 100).cast("bigint").alias("sum_value_cents"))
+             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"))
         .select(F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
                 "event_type", "cnt", "sum_value_cents")
         .orderBy("window_start_epoch", "event_type")
@@ -359,7 +461,7 @@ SQL_EVENTS_WINDOW = """
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
        event_type,
        COUNT(*) AS cnt,
-       CAST(FLOOR(SUM(value) * 100) AS BIGINT) AS sum_value_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -390,12 +492,14 @@ TEXTDATA_QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_kept_docs": (q_dedup_kept_docs, SQL_DEDUP_KEPT_DOCS),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
+    "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
 }

@@ -91,7 +91,8 @@ def _parity_section() -> str:
 |---|---|---|
 | build, {r['n_items'] / 1e6:.0f}M items | {r['items_build_sec']:.1f} s ({r['items_per_sec'] / 1e6:.1f}M items/s) | sequential 26.65 s (9.4M/s); mpiV2 32 procs ~48.8M/s (1000M run) |
 | point query (avg of 10^6) | {r['point_query_us']:.2f} us | 6.5-10 us |
-| range query [100,110] | {r['range_query_us']:.1f} us | ~4.4 us |
+| range query [100,110], per-call | {r['range_query_us']:.1f} us | ~4.4 us (C repetition loop) |
+| range query, batched/amortized | {r.get('range_query_batch_us', float('nan')):.2f} us | — (methodology-matched comparison) |
 | self inner product | {r['inner_product_us']:.1f} us | ~27-30 us |
 
 Planted-oracle sanity: est(123) = {r['est_123']:,} on {r['n_items']:,} items
@@ -149,6 +150,7 @@ def main() -> None:
         with open(p) as f:
             all_levels.append(json.load(f))
     all_levels.sort(key=lambda r: r["cpus"])
+    by_cpu = {r["cpus"]: r for r in all_levels}
 
     def thr(r, key):  # docs/sec
         return r["n_docs"] / r[key]
@@ -183,6 +185,17 @@ criterion evidenced by two parallelism levels on the same input).
 
 Token throughput (best path per level): {small['n_tokens'] / min(small['sql_sec'], small['arrow_sec']) / 1e6:.1f}M tokens/s at
 local[{args.n}], {big['n_tokens'] / min(big['sql_sec'], big['arrow_sec']) / 1e6:.1f}M tokens/s at local[{args.n * 4}].
+
+## Every measured N -> 4N span
+
+| span | SQL efficiency | Arrow efficiency |
+|---|---|---|
+""" + "\n".join(
+        f"| local[{n}] -> local[{n * 4}] | "
+        f"{thr(by_cpu[n * 4], 'sql_sec') / (4 * thr(by_cpu[n], 'sql_sec')):.2f} | "
+        f"{thr(by_cpu[n * 4], 'arrow_sec') / (4 * thr(by_cpu[n], 'arrow_sec')):.2f} |"
+        for n in sorted(by_cpu) if n * 4 in by_cpu
+    ) + f"""
 
 ## All measured parallelism levels
 

@@ -64,6 +64,16 @@ def test_exact_dup_groups(spark):
     assert by_n == [(2, 3), (3, 1)]
 
 
+def test_dedup_keep_canonical(spark):
+    df = spark.createDataFrame(
+        [(2, "a"), (1, "a"), (3, "b"), (10, "a"), (7, "c"), (5, "c")],
+        "doc_id LONG, text STRING",
+    ).repartition(3)
+    kept = dd.dedup_keep_canonical(df, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 5]
+    assert kept.columns == ["doc_id", "text"]  # original schema preserved
+
+
 def test_minhash_identical_docs_identical_sigs(spark):
     df = spark.createDataFrame(
         [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "w8 w7 w6 w5 w4 w3 w2 w1"),
@@ -263,6 +273,32 @@ def test_decode_stub_contract():
     a = decode_image_stub(b"same bytes", fake=True)
     b = decode_image_stub(b"same bytes", fake=True)
     assert np.array_equal(a, b) and a.shape == (4, 4, 3) and a.dtype == np.uint8
+
+
+def test_frame_sampling_plumbing(spark):
+    from parallel_count_min_sketch_spark.multimodal.binary_ops import (
+        resize_stub,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_stub(np.zeros((4, 4, 3), np.uint8), 2, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fakevideo-bytes-" * 8)), (2, bytearray(b"x"))],
+        "id LONG, blob BINARY",
+    )
+    rows = sample_frames(df, "blob", "id", n_frames=3).collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert set(by_id) == {1, 2}
+    for vid, frames in by_id.items():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2]
+        assert all(len(f["frame_feat"]) == 3 for f in frames)
+    # determinism across runs
+    again = sample_frames(df, "blob", "id", n_frames=3).collect()
+    key = lambda r: (r["id"], r["frame_idx"])
+    assert {key(r): r["frame_feat"] for r in rows} == {key(r): r["frame_feat"] for r in again}
 
 
 def test_binary_pipeline_end_to_end(spark):
