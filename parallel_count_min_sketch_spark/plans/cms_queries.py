@@ -214,6 +214,26 @@ ORDER BY est DESC, token
 """
 
 
+def q_cms_weighted_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sketch build from a pre-aggregated shape: counter[j][k] =
+    sum of l_quantity over items hashing there (cms_update_int with count
+    argument, src/core/count_min_sketch.c:5-11) — the production path for
+    (item, count) inputs, driver-gated on every counter."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("qty"))
+    return cms_table_df(li, "l_partkey", CFG, weight_col="qty") \
+        .orderBy("depth_row", "bucket")
+
+
+SQL_CMS_WEIGHTED_BUILD = f"""
+WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id,
+                    CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+SELECT CAST(depth_row AS INT) AS depth_row, bucket, counter
+FROM ({_duck_buckets_cte('item_id', weight_sql='qty')})
+ORDER BY depth_row, bucket
+"""
+
+
 def q_exact_oracle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's embedded exact oracles (items 123, 456, range
     [100,110]; src/mpi/mpiV2.c:131-140) as one exact aggregation."""
@@ -285,6 +305,7 @@ ORDER BY hh.exact_count DESC, token
 CMS_QUERIES = {
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
+    "cms_weighted_build": (q_cms_weighted_build, SQL_CMS_WEIGHTED_BUILD),
     "cms_point_query": (q_cms_point_query, SQL_CMS_POINT_QUERY),
     "cms_range_query": (q_cms_range_query, SQL_CMS_RANGE_QUERY),
     "cms_inner_product": (q_cms_inner_product, SQL_CMS_INNER_PRODUCT),

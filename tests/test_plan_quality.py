@@ -69,6 +69,51 @@ def test_point_query_broadcasts_sketch_table(spark, pages_path):
     assert "SortMergeJoin" not in plan
 
 
+def test_heavy_hitters_scalable_plan(spark, pages_path):
+    """Scale-path HH: candidate probes and survivors ride broadcast joins;
+    no sort-merge join or cartesian product anywhere; the raw token stream
+    is never distinct-shuffled (the only token-keyed exchange carries the
+    O(partitions*k) candidate rows)."""
+    from parallel_count_min_sketch_spark.operators.heavy_hitters import (
+        heavy_hitters_scalable,
+    )
+
+    df = spark.read.parquet(pages_path)
+    plan = _plan(heavy_hitters_scalable(df, "text", CFG, 0.05), execute=True)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_multiprobe_plan_broadcasts_probes(spark):
+    from parallel_count_min_sketch_spark.operators.similarity import (
+        lsh_ann_topk_multiprobe,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = lsh_ann_topk_multiprobe(df, "vec_id", "embedding", [0, 1], dim=8,
+                                n_tables=2, probe_flips=1)
+    plan = _plan(q, execute=True)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # bucket join is equi
+
+
+def test_dedup_keep_canonical_plan_single_digest_shuffle(spark, pages_path):
+    """Cleaned-corpus dedup: the heavy relation shuffles on the digest only;
+    no cartesian, and aggregation is partial/final (map-side combine)."""
+    from parallel_count_min_sketch_spark.operators.dedup import dedup_keep_canonical
+
+    df = spark.read.parquet(pages_path).select("url", "text")
+    plan = _plan(dedup_keep_canonical(df, "url"), execute=True)
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan, plan
+
+
 def test_partials_single_pass_no_shuffle_before_udf(spark, pages_path):
     """The Arrow partial stage must consume the scan directly — no exchange
     between the file scan and the fold UDF (one pass over the data)."""
