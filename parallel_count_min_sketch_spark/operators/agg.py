@@ -91,8 +91,14 @@ def cms_partials(df, item_col: str, cfg: CMSConfig, *, weight_col: str | None = 
         rows = 0
         for batch in batches:
             col = batch.column(0)
-            if col.null_count:
+            if col.null_count or (weight_col and batch.column(1).null_count):
+                import pyarrow.compute as pc
+
                 keep = col.is_valid()
+                if weight_col:
+                    # null weight = no occurrences (SQL SUM semantics),
+                    # not int64(nan) garbage
+                    keep = pc.and_(keep, batch.column(1).is_valid())
                 batch = batch.filter(keep)
                 col = batch.column(0)
             weights_all = (
@@ -192,6 +198,26 @@ _GROUPED_PA = pa.schema(
 )
 
 
+def iter_group_segments(batch: pa.RecordBatch, values: np.ndarray):
+    """Yield (group_key, value_slice) per distinct group of an Arrow batch
+    whose column 0 holds the group key. Keys are dictionary-encoded so only
+    UNIQUE key strings ever cross into Python; the segmenting argsort runs
+    on int32 codes (matters for high-cardinality groups — host, file).
+    Shared by the CMS grouped path and the generic sketch_agg grouped path."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(batch.column(0))
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    key_by_code = enc.dictionary.to_pylist()
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    sorted_values = values[order]
+    uniq, starts = np.unique(sorted_codes, return_index=True)
+    bounds = np.append(starts, len(sorted_codes))
+    for code, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+        yield key_by_code[code], sorted_values[lo:hi]
+
+
 def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
                          string_items: bool = False):
     proj = df.select(group_col, item_col)
@@ -209,28 +235,14 @@ def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
             if batch.num_rows == 0:
                 continue
             items = _items_from_array(batch.column(1), string_items)
-            # dictionary-encode the group keys: only UNIQUE key strings ever
-            # cross into Python; the segmenting argsort runs on int32 codes
-            # (matters for high-cardinality groups — host, file)
-            import pyarrow.compute as pc
-
-            enc = pc.dictionary_encode(batch.column(0))
-            codes = enc.indices.to_numpy(zero_copy_only=False)
-            key_by_code = enc.dictionary.to_pylist()
-            order = np.argsort(codes, kind="stable")
-            sorted_codes = codes[order]
-            sorted_items = items[order]
-            uniq, starts = np.unique(sorted_codes, return_index=True)
-            bounds = np.append(starts, len(sorted_codes))
-            for code, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
-                g = key_by_code[code]
+            for g, seg in iter_group_segments(batch, items):
                 sk = sketches.get(g)
                 if sk is None:
                     sk = cfg.new_sketch()
                     sketches[g] = sk
                     counts[g] = 0
-                sk.update_batch(sorted_items[lo:hi])
-                counts[g] += int(hi - lo)
+                sk.update_batch(seg)
+                counts[g] += len(seg)
         if sketches:
             yield pa.RecordBatch.from_pydict(
                 {

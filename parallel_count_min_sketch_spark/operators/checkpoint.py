@@ -56,8 +56,20 @@ class CheckpointedCMSBuild:
         monotonically_increasing_id — shifts contents with core count while
         keeping the partition count fixed)."""
         files = sorted(_norm_uri(f) for f in df.inputFiles())
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        stable = "Repartition" not in plan  # Repartition / RepartitionByExpression
+        # walk the optimized logical plan's NODE names (a substring match on
+        # the rendered plan would false-positive on paths/columns that merely
+        # contain the word "Repartition")
+        unstable_nodes = {"Repartition", "RepartitionByExpression", "RebalancePartitions"}
+        stable = True
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() in unstable_nodes:
+                stable = False
+                break
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
         return {"files": files, "scan_stable": stable}
 
     def _write_meta(self, n_partitions: int, input_desc: str,
@@ -121,6 +133,13 @@ class CheckpointedCMSBuild:
                 )
             done = self.completed_partitions(spark)
         else:
+            # fresh start (resume=False or no meta): stale partials from a
+            # previous run must not survive — the dedupe would otherwise
+            # arbitrarily keep old-input partials next to new ones
+            import shutil
+
+            if os.path.isdir(self.partials_dir):
+                shutil.rmtree(self.partials_dir)
             done = set()
             self._write_meta(n_partitions, input_desc, fingerprint)
 

@@ -43,10 +43,21 @@ def _weighted_update(sk, values: np.ndarray, weights: np.ndarray | None) -> int:
                   are dropped, which is EXACT for these kernels
       'repeat'    expand by repetition (KLL) — exact but O(sum(weights));
                   meant for modest pre-aggregated counts
+    Zero-weight rows are dropped in EVERY mode (a count of 0 means the item
+    never occurred — inserting it would corrupt HLL/Bloom); negative
+    weights are rejected (they would break the CMS one-sided guarantee).
     Returns the logical row count consumed."""
     if weights is None:
         sk.update_batch(values)
         return len(values)
+    if (weights < 0).any():
+        raise ValueError("negative weights are not allowed in sketch builds")
+    keep = weights > 0
+    if not keep.all():
+        values = values[keep]
+        weights = weights[keep]
+    if len(values) == 0:
+        return 0
     mode = getattr(sk, "WEIGHTED", "repeat")
     if mode == "native":
         sk.update_batch(values, weights)
@@ -73,8 +84,14 @@ def sketch_partials(df, col: str, make_sketch: Callable, *,
         rows = 0
         for batch in batches:
             c = batch.column(0)
-            if c.null_count:
+            if c.null_count or (weight_col and batch.column(1).null_count):
+                import pyarrow.compute as pc
+
                 keep = c.is_valid()
+                if weight_col:
+                    # a null weight is "no occurrences", like SQL SUM —
+                    # NOT int64(nan) garbage
+                    keep = pc.and_(keep, batch.column(1).is_valid())
                 batch = batch.filter(keep)
                 c = batch.column(0)
             w_all = (
@@ -143,6 +160,8 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
 
+        from .agg import iter_group_segments
+
         tune_allocator()
         sketches: dict[str, object] = {}
         counts: dict[str, int] = {}
@@ -159,23 +178,14 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
                 values = vals_col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             else:
                 values = vals_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            enc = pc.dictionary_encode(batch.column(0))
-            codes = enc.indices.to_numpy(zero_copy_only=False)
-            key_by_code = enc.dictionary.to_pylist()
-            order = np.argsort(codes, kind="stable")
-            sorted_codes = codes[order]
-            sorted_values = values[order]
-            uniq, starts = np.unique(sorted_codes, return_index=True)
-            bounds = np.append(starts, len(sorted_codes))
-            for code, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
-                g = key_by_code[code]
+            for g, seg in iter_group_segments(batch, values):
                 sk = sketches.get(g)
                 if sk is None:
                     sk = make_sketch()
                     sketches[g] = sk
                     counts[g] = 0
-                sk.update_batch(sorted_values[lo:hi])
-                counts[g] += int(hi - lo)
+                sk.update_batch(seg)
+                counts[g] += len(seg)
         if sketches:
             yield pa.RecordBatch.from_pydict(
                 {

@@ -23,6 +23,17 @@ from ..config import djb2_sql_duckdb
 DUP_OFFSET = 1_000_000  # planted duplicates: doc_id + offset, same text
 KNN_QUERIES = [0, 1, 2]
 KNN_K = 5
+EMB_DIM = 64  # embeddings.embedding length (TESTDATA.md)
+
+
+def _duck_fold_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Replicate Spark's _dot (zip_with + aggregate) EXACTLY: a left fold of
+    double products starting at 0.0. DuckDB's list_dot_product uses a
+    different summation order/precision and can flip floor(cos*1e4) or a
+    rank at the ulp level (bit for identical vectors where cos == 1)."""
+    prods = (f"list_transform(range(1, {dim} + 1), "
+             f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+    return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), (acc, v) -> acc + v)"
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,8 +273,9 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.qid, e.vec_id AS nid,
-         list_dot_product(q.qvec, e.embedding) /
-         (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS cos
+         {_duck_fold_dot('q.qvec', 'e.embedding')} /
+         (sqrt({_duck_fold_dot('q.qvec', 'q.qvec')}) *
+          sqrt({_duck_fold_dot('e.embedding', 'e.embedding')})) AS cos
   FROM embeddings e, q WHERE e.vec_id <> q.qid
 ),
 ranked AS (
@@ -341,9 +353,9 @@ cands AS (
 ),
 scored AS (
   SELECT cands.qid, cands.nid,
-         list_dot_product(qe.embedding, ne.embedding) /
-         (sqrt(list_dot_product(qe.embedding, qe.embedding)) *
-          sqrt(list_dot_product(ne.embedding, ne.embedding))) AS cos
+         {_duck_fold_dot('qe.embedding', 'ne.embedding')} /
+         (sqrt({_duck_fold_dot('qe.embedding', 'qe.embedding')}) *
+          sqrt({_duck_fold_dot('ne.embedding', 'ne.embedding')})) AS cos
   FROM cands
   JOIN embeddings qe ON qe.vec_id = cands.qid
   JOIN embeddings ne ON ne.vec_id = cands.nid
@@ -399,17 +411,9 @@ def _sql_embedding_near_dups() -> str:
         for t in range(ANN_TABLES)
     )
 
-    # replicate Spark's _dot EXACTLY: left fold of double products starting
-    # at 0.0 (list_dot_product rounds differently and flips floor(cos*1e4)
-    # at the cos=1 boundary for identical vectors)
-    def fold_dot(a: str, b: str) -> str:
-        prods = (f"list_transform(range(1, {ANN_DIM} + 1), "
-                 f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
-        return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), (acc, v) -> acc + v)"
-
-    cos = (f"{fold_dot('a.embedding', 'b.embedding')} / "
-           f"(sqrt({fold_dot('a.embedding', 'a.embedding')}) * "
-           f"sqrt({fold_dot('b.embedding', 'b.embedding')}))")
+    cos = (f"{_duck_fold_dot('a.embedding', 'b.embedding')} / "
+           f"(sqrt({_duck_fold_dot('a.embedding', 'a.embedding')}) * "
+           f"sqrt({_duck_fold_dot('b.embedding', 'b.embedding')}))")
     return f"""
 WITH emb AS (
   SELECT vec_id, embedding FROM embeddings

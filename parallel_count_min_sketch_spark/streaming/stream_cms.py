@@ -25,7 +25,7 @@ from ..config import CMSConfig
 from ..operators.agg import cms_text_partials
 from ..sketches.cms import CountMinSketch
 
-_STATE_HEADER = struct.Struct("<4sq")  # magic, last applied batch_id
+_STATE_HEADER = struct.Struct("<4sqI")  # magic, last batch_id, ckpt-tag length
 _STATE_MAGIC = b"SCM1"
 
 
@@ -45,6 +45,8 @@ class StreamingCMS:
         self.text_col = text_col
         self.state_path = state_path
         self.last_batch_id = -1
+        self.ckpt_tag: str | None = None  # streaming checkpoint dir the
+        # batch-id watermark is valid against (ids restart at 0 elsewhere)
         self.sketch = self._load_state() or cfg.new_sketch()
         self.batches_seen = 0
 
@@ -52,21 +54,25 @@ class StreamingCMS:
         if self.state_path and os.path.exists(self.state_path):
             with open(self.state_path, "rb") as f:
                 data = f.read()
-            magic, last_id = _STATE_HEADER.unpack_from(data, 0)
+            magic, last_id, tag_len = _STATE_HEADER.unpack_from(data, 0)
             if magic != _STATE_MAGIC:
                 raise ValueError("not a StreamingCMS state blob")
             self.last_batch_id = last_id
+            off = _STATE_HEADER.size
+            self.ckpt_tag = data[off:off + tag_len].decode("utf-8") or None
             return CountMinSketch.from_bytes(
-                data[_STATE_HEADER.size:], self.cfg.epsilon, self.cfg.delta
+                data[off + tag_len:], self.cfg.epsilon, self.cfg.delta
             )
         return None
 
     def _save_state(self) -> None:
         if not self.state_path:
             return
+        tag = (self.ckpt_tag or "").encode("utf-8")
         tmp = self.state_path + ".tmp"
         with open(tmp, "wb") as f:
-            f.write(_STATE_HEADER.pack(_STATE_MAGIC, self.last_batch_id))
+            f.write(_STATE_HEADER.pack(_STATE_MAGIC, self.last_batch_id, len(tag)))
+            f.write(tag)
             f.write(self.sketch.to_bytes())
         os.replace(tmp, self.state_path)  # atomic on POSIX
 
@@ -84,6 +90,18 @@ class StreamingCMS:
 
     def start(self, stream_df: DataFrame, checkpoint_dir: str, *,
               trigger_once: bool = False):
+        # the batch-id watermark is only monotone WITHIN one streaming
+        # checkpoint: a new checkpoint dir restarts ids at 0, and reusing
+        # this state there would silently skip real data
+        tag = os.path.abspath(checkpoint_dir)
+        if self.ckpt_tag is not None and self.ckpt_tag != tag:
+            raise ValueError(
+                f"state blob {self.state_path} was accumulated under streaming "
+                f"checkpoint {self.ckpt_tag}; batch ids restart at 0 under "
+                f"{tag}, which would silently skip new data — use a fresh "
+                "state_path for a new query"
+            )
+        self.ckpt_tag = tag
         writer = stream_df.writeStream.foreachBatch(self.process_batch) \
             .option("checkpointLocation", checkpoint_dir).outputMode("update")
         if trigger_once:

@@ -113,6 +113,17 @@ def test_salted_repartition_rejected(spark, ckpt_dir):
         CheckpointedCMSBuild(CFG, ckpt_dir).run(df, "text")
 
 
+def test_resume_false_clears_stale_partials(spark, ckpt_dir):
+    """Starting over must not leave old-input partials next to new ones —
+    the per-partition dedupe would arbitrarily keep stale rows."""
+    old = web_pages(spark, 200, seed=5, partitions=4)
+    CheckpointedCMSBuild(CFG, ckpt_dir).run(old, "text")
+    new = web_pages(spark, 300, seed=9, partitions=4)
+    sk = CheckpointedCMSBuild(CFG, ckpt_dir).run(new, "text", resume=False)
+    fresh = build_cms_from_text(new, "text", CFG)
+    assert sk.to_bytes() == fresh.to_bytes()
+
+
 def test_changed_input_files_rejected(spark, ckpt_dir, tmp_path):
     src = str(tmp_path / "dataset")
     web_pages(spark, 100, seed=5, partitions=2).write.mode("append").parquet(src)

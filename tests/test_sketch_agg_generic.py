@@ -114,6 +114,28 @@ def test_weighted_tdigest_native_weights(spark, weighted_df):
         assert abs(rank - q) < 0.05
 
 
+def test_weighted_nulls_and_zeros_are_dropped(spark):
+    """Null weight = no occurrences (SQL SUM semantics, not int64(nan)
+    garbage); zero weight must not touch HLL/Bloom registers; negative
+    weights are rejected."""
+    rows = [(1, 3), (2, None), (3, 0), (4, 2)]
+    df = spark.createDataFrame(rows, "item BIGINT, cnt BIGINT").repartition(2)
+    clean = spark.createDataFrame([(1, 3), (4, 2)], "item BIGINT, cnt BIGINT")
+
+    w = build_sketch(df, "item", _mk_cms, _cms_from_bytes, weight_col="cnt")
+    e = build_sketch(clean, "item", _mk_cms, _cms_from_bytes, weight_col="cnt")
+    assert w.to_bytes() == e.to_bytes()
+    assert w.total == 5
+
+    h = build_sketch(df, "item", _mk_hll, _hll_from_bytes, weight_col="cnt")
+    he = build_sketch(clean, "item", _mk_hll, _hll_from_bytes, weight_col="cnt")
+    assert h.to_bytes() == he.to_bytes()  # items 2 and 3 never inserted
+
+    neg = spark.createDataFrame([(1, -2)], "item BIGINT, cnt BIGINT")
+    with pytest.raises(Exception, match="negative weights"):
+        build_sketch(neg, "item", _mk_cms, _cms_from_bytes, weight_col="cnt")
+
+
 def test_grouped_hll_matches_per_group_sequential(spark):
     rng = np.random.default_rng(11)
     rows = [

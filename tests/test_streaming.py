@@ -91,6 +91,24 @@ def test_replayed_batch_is_not_double_counted(spark, tmp_path):
     assert acc2.sketch.to_bytes() != once
 
 
+def test_state_refuses_foreign_checkpoint_dir(spark, tmp_path):
+    """Batch ids restart at 0 under a new streaming checkpoint dir; reusing
+    an accumulated state blob there would silently skip real data."""
+    src = str(tmp_path / "incoming")
+    web_pages(spark, 50, seed=41, partitions=1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    state = str(tmp_path / "cms.bin")
+    acc1 = StreamingCMS(CFG, "text", state_path=state)
+    q = acc1.start(spark.readStream.schema(schema).parquet(src),
+                   str(tmp_path / "ckptA"), trigger_once=True)
+    q.awaitTermination(180)
+
+    acc2 = StreamingCMS(CFG, "text", state_path=state)
+    with pytest.raises(ValueError, match="batch ids restart"):
+        acc2.start(spark.readStream.schema(schema).parquet(src),
+                   str(tmp_path / "ckptB"), trigger_once=True)
+
+
 def test_windowed_token_counts_matches_batch(spark, tmp_path, staged_pages):
     src, both, _, _ = staged_pages
     schema = spark.read.parquet(src).schema
