@@ -222,6 +222,82 @@ def lsh_ann_topk_multiprobe(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
+                 dim: int, k: int = 5, n_centroids: int = 8, nprobe: int = 2,
+                 centroid_ids: list[int] | None = None) -> DataFrame:
+    """IVF-flat ANN: every vector is assigned to its nearest centroid
+    (inverted lists = a cluster column), and a query rescans only its
+    ``nprobe`` nearest centroids' lists. Complements the LSH variant with
+    the recall knob production IVF indexes use.
+
+    Centroids are the vectors at ``centroid_ids`` (default: the first
+    ``n_centroids`` ids — deterministic and replayable by the SQL oracle; a
+    real deployment would plug k-means centroids into the same shape).
+    Assignment is a pure-JVM expression: per-centroid dot products against
+    normalized literal arrays, argmax = first maximum (array_position).
+    Scale shape: centroid table is tiny and baked into the plan; the corpus
+    is scanned once for assignment; queries broadcast; the candidate join
+    is an equi-join on the cluster id — no cartesian anywhere."""
+    import math
+
+    if centroid_ids is None:
+        centroid_ids = list(range(n_centroids))
+    rows = df.filter(F.col(id_col).isin(centroid_ids)) \
+        .select(id_col, vec_col).collect()
+    by_id = {int(r[0]): list(r[1]) for r in rows}
+    cents: list[list[float]] = []
+    for cid in centroid_ids:
+        v = [float(x) for x in by_id[cid]]
+        nrm = 0.0
+        for x in v:  # left fold, same op order as _dot / the SQL oracle
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        cents.append([x / nrm for x in v])
+
+    def scores_col(vec: str):
+        def dot_lit(c: list[float]):
+            warr = F.array(*[F.lit(x) for x in c])
+            return F.aggregate(
+                F.zip_with(F.col(vec), warr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v_: acc + v_,
+            )
+
+        return F.array(*[dot_lit(c) for c in cents])
+
+    assigned = df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+        (F.array_position(scores_col(vec_col), F.array_max(scores_col(vec_col))) - 1)
+        .cast("int").alias("cluster"),
+    )
+    q_base = df.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        F.posexplode(scores_col(vec_col)).alias("cluster", "score"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cluster"))
+    probes = (
+        q_base.withColumn("crank", F.row_number().over(wq))
+        .filter(F.col("crank") <= nprobe)
+        .select("qid", "qvec", "cluster")
+    )
+    joined = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "qvec", "nid", "nvec")
+        .dropDuplicates(["qid", "nid"])
+    )
+    sim = (_dot(F.col("qvec"), F.col("nvec"))
+           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    scored = joined.select("qid", "nid", sim)
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("query_id"), "rank",
+                F.col("nid").alias("neighbor_id"),
+                F.floor(F.col("cos") * 10000.0).cast("bigint").alias("cosine_bp"))
+    )
+
+
 def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str, dim: int, *,
                         threshold_bp: int = 9500, n_planes: int = 8,
                         n_tables: int = 2, max_bucket: int | None = None) -> DataFrame:

@@ -371,6 +371,79 @@ FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
 """
 
 
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over the embeddings table (deterministic centroids =
+    the first 8 vectors; inverted-list assignment + nprobe=2 rescans) —
+    every stage replayed exactly by the oracle."""
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, "vec_id", "embedding", KNN_QUERIES, dim=EMB_DIM, k=ANN_K,
+        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ann_ivf() -> str:
+    cent_ids = ", ".join(str(i) for i in range(IVF_CENTROIDS))
+    q_ids = ", ".join(str(x) for x in KNN_QUERIES)
+    score = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             f"list_transform(range(1, {EMB_DIM} + 1), "
+             "i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])), (acc, v) -> acc + v)")
+    cos = (f"{_duck_fold_dot('qe.embedding', 'ne.embedding')} / "
+           f"(sqrt({_duck_fold_dot('qe.embedding', 'qe.embedding')}) * "
+           f"sqrt({_duck_fold_dot('ne.embedding', 'ne.embedding')}))")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+             sqrt({_duck_fold_dot('embedding', 'embedding')})) AS cvec
+  FROM embeddings WHERE vec_id IN ({cent_ids})
+),
+scoresv AS (
+  SELECT e.vec_id, c.cid, {score} AS score
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM scoresv
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+    FROM scoresv WHERE vec_id IN ({q_ids})
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cands AS (
+  SELECT DISTINCT p.qid, a.vec_id AS nid
+  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.qid
+),
+scored AS (
+  SELECT cands.qid, cands.nid, {cos} AS cos
+  FROM cands
+  JOIN embeddings qe ON qe.vec_id = cands.qid
+  JOIN embeddings ne ON ne.vec_id = cands.nid
+),
+ranked AS (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, CAST(rank AS INT) AS rank, nid AS neighbor_id,
+       CAST(FLOOR(cos * 10000.0) AS BIGINT) AS cosine_bp
+FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
+"""
+
+
 NEAR_DUP_THRESHOLD_BP = 9500
 
 
@@ -504,6 +577,7 @@ TEXTDATA_QUERIES = {
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
     "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),
+    "ann_ivf": (q_ann_ivf, _sql_ann_ivf()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
 }

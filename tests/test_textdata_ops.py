@@ -266,6 +266,41 @@ def test_multiprobe_ann_beats_single_table(spark):
     assert rm >= r1, f"multiprobe {rm} < single-table {r1}"
 
 
+def test_ivf_ann_recall_on_clustered_data(spark):
+    """IVF-flat with one centroid per second cluster and nprobe=2 must find
+    the true top-k for most queries (neighbors live in the query's own
+    inverted list)."""
+    from parallel_count_min_sketch_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.default_rng(1)
+    dim = 16
+    bases = rng.normal(size=(20, dim))
+    rows = []
+    vid = 0
+    for b in bases:
+        for _ in range(6):
+            v = b + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = [0, 12, 24, 36, 48]
+    k = 3
+    exact_rows = cosine_topk(df, "vec_id", "embedding", queries, k=k).collect()
+    ivf_rows = ivf_ann_topk(
+        df, "vec_id", "embedding", queries, dim=dim, k=k,
+        n_centroids=10, nprobe=2, centroid_ids=[i * 12 for i in range(10)],
+    ).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_sets: dict[int, set] = {}
+    for r in ivf_rows:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(len(exact_sets[q] & ivf_sets.get(q, set())) for q in exact_sets)
+    tot = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hit / tot >= 0.8, f"IVF recall {hit}/{tot}"
+
+
 # ---------------------------- multimodal ------------------------------------
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
