@@ -56,6 +56,42 @@ def exact_discrete_quantiles(df: DataFrame, col: str, qs: Sequence[float],
     return [(float(q), got[float(q)][0], float(got[float(q)][1])) for q in qs]
 
 
+def exact_discrete_quantiles_grouped(
+    df: DataFrame, group_col: str, col: str, qs: Sequence[float],
+) -> dict[str, list[tuple[float, int, float]]]:
+    """Per-group inverse-CDF discrete quantiles: {group: [(q, rank, value)]}.
+    Same shape as ``exact_discrete_quantiles`` with the histogram, cumsum
+    window, and rank join all partitioned by the group — one value-histogram
+    shuffle regardless of group count."""
+    vals = df.select(F.col(group_col).alias("g"), F.col(col).alias("x")) \
+        .filter(F.col("x").isNotNull() & F.col("g").isNotNull())
+    cnts = vals.groupBy("g", "x").agg(F.count("*").alias("c"))
+    ns = {r["g"]: r["n"] for r in vals.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    w = Window.partitionBy("g").orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        cnts.withColumn("cum", F.sum("c").over(w))
+        .withColumn("lo", F.col("cum") - F.col("c"))
+    )
+    spark = df.sparkSession
+    rank_rows = [
+        (g, float(q), rank_of_quantile(q, n))
+        for g, n in ns.items() for q in qs
+    ]
+    ranks = spark.createDataFrame(rank_rows, "g STRING, q DOUBLE, r BIGINT")
+    hit = cum.join(
+        F.broadcast(ranks),
+        ["g"],
+    ).filter((F.col("r") > F.col("lo")) & (F.col("r") <= F.col("cum"))) \
+        .select("g", "q", "r", "x")
+    out: dict[str, list[tuple[float, int, float]]] = {g: [] for g in ns}
+    got = {(row["g"], row["q"]): (row["r"], row["x"]) for row in hit.collect()}
+    for g in ns:
+        for q in qs:
+            r, x = got[(g, float(q))]
+            out[g].append((float(q), int(r), float(x)))
+    return out
+
+
 def exact_ranks_of_values(df: DataFrame, col: str,
                           values: Sequence[float]) -> tuple[int, list[float]]:
     """(n, [normalized rank of each value]) in ONE aggregation pass:

@@ -421,6 +421,71 @@ ORDER BY lang
 """
 
 
+def q_kll_grouped_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One KLL per event_type over events.value (generic grouped rails) —
+    per-group exact discrete quantiles + n replayed by DuckDB, per-group
+    sketch estimates verified against exact ranks in one aggregation pass."""
+    import pyspark.sql.functions as F
+
+    from ..operators.quantiles import exact_discrete_quantiles_grouped
+    from ..operators.sketch_agg import sketch_grouped
+
+    ev = load(spark, sf_dir, "events")
+    grouped = sketch_grouped(ev, "event_type", "value", _mk_kll, _kll_from_bytes,
+                             as_float=True).collect()
+    ests = {}
+    for r in grouped:
+        sk = _kll_from_bytes(bytes(r["sketch"]))
+        ests[r["group"]] = sk.quantile(np.array(QUANTS))
+    disc = exact_discrete_quantiles_grouped(ev, "event_type", "value", QUANTS)
+
+    # exact rank of every per-group estimate, ONE aggregation pass:
+    # rank(g, v) = count(type = g AND value <= v)
+    vals = ev.select("event_type", "value").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull())
+    aggs = []
+    for g in sorted(ests):
+        aggs.append(F.sum(F.when(F.col("event_type") == g, 1).otherwise(0))
+                    .alias(f"n__{g}"))
+        for i, v in enumerate(ests[g]):
+            aggs.append(
+                F.sum(F.when((F.col("event_type") == g)
+                             & (F.col("value") <= float(v)), 1).otherwise(0))
+                .alias(f"r__{g}__{i}"))
+    agg_row = vals.agg(*aggs).collect()[0]
+
+    rows = []
+    for g in sorted(ests):
+        n = int(agg_row[f"n__{g}"])
+        for i, (q, _r, x) in enumerate(disc[g]):
+            rank = int(agg_row[f"r__{g}__{i}"]) / n
+            rows.append((g, int(round(q * 100)), n, float(x),
+                         bool(abs(rank - q) <= KLL_RANK_EPS)))
+    return spark.createDataFrame(
+        rows,
+        "event_type STRING, q_pct BIGINT, n BIGINT, exact_disc_value DOUBLE, "
+        "within_rank_bound BOOLEAN",
+    ).orderBy("event_type", "q_pct")
+
+
+def _kll_grouped_sql() -> str:
+    qvals = ", ".join(f"({int(round(q * 100))}, CAST({q!r} AS DOUBLE))" for q in QUANTS)
+    return f"""
+WITH vals AS (
+  SELECT event_type AS g, value AS x FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+nn AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY g),
+qs AS (SELECT * FROM (VALUES {qvals}) v(q_pct, q)),
+ranked AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM vals)
+SELECT nn.g AS event_type, CAST(q.q_pct AS BIGINT) AS q_pct, nn.n AS n,
+       r.x AS exact_disc_value, TRUE AS within_rank_bound
+FROM nn CROSS JOIN qs q
+JOIN ranked r ON r.g = nn.g AND r.rn = GREATEST(1, CAST(CEIL(q.q * nn.n) AS BIGINT))
+ORDER BY event_type, q_pct
+"""
+
+
 DYADIC_SEED = 12345
 DYADIC_BASE = 16
 DYADIC_LEVELS = 8
@@ -498,5 +563,6 @@ SKETCH_QUERIES = {
     "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
     "kll_quantiles": (q_kll_quantiles, _quantile_sql()),
+    "kll_grouped_by_type": (q_kll_grouped_by_type, _kll_grouped_sql()),
     "tdigest_quantiles": (q_tdigest_quantiles, _quantile_sql()),
 }
