@@ -106,6 +106,10 @@ def cms_partials(df, item_col: str, cfg: CMSConfig, *, weight_col: str | None = 
                 if weight_col
                 else None
             )
+            if weights_all is not None and (weights_all < 0).any():
+                # same contract as the generic rails (_weighted_update):
+                # negative counts would break the one-sided CMS guarantee
+                raise ValueError("negative weights are not allowed in sketch builds")
             for lo in range(0, len(col), CHUNK_TOKENS):
                 chunk = col.slice(lo, CHUNK_TOKENS)
                 items = _items_from_array(chunk, string_items)

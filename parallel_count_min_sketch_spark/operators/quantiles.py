@@ -65,8 +65,11 @@ def exact_discrete_quantiles_grouped(
     shuffle regardless of group count."""
     vals = df.select(F.col(group_col).alias("g"), F.col(col).alias("x")) \
         .filter(F.col("x").isNotNull() & F.col("g").isNotNull())
-    cnts = vals.groupBy("g", "x").agg(F.count("*").alias("c"))
-    ns = {r["g"]: r["n"] for r in vals.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    # the histogram already carries the per-group n (sum of counts) — cache
+    # it so deriving n does NOT rescan the raw table
+    cnts = vals.groupBy("g", "x").agg(F.count("*").alias("c")).cache()
+    ns = {r["g"]: r["n"] for r in
+          cnts.groupBy("g").agg(F.sum("c").alias("n")).collect()}
     w = Window.partitionBy("g").orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     cum = (
         cnts.withColumn("cum", F.sum("c").over(w))
@@ -85,6 +88,7 @@ def exact_discrete_quantiles_grouped(
         .select("g", "q", "r", "x")
     out: dict[str, list[tuple[float, int, float]]] = {g: [] for g in ns}
     got = {(row["g"], row["q"]): (row["r"], row["x"]) for row in hit.collect()}
+    cnts.unpersist()
     for g in ns:
         for q in qs:
             r, x = got[(g, float(q))]

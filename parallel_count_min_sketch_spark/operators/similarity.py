@@ -245,33 +245,41 @@ def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
     rows = df.filter(F.col(id_col).isin(centroid_ids)) \
         .select(id_col, vec_col).collect()
     by_id = {int(r[0]): list(r[1]) for r in rows}
+    missing = [cid for cid in centroid_ids if cid not in by_id]
+    if missing:
+        raise ValueError(f"centroid ids not present in {id_col}: {missing}")
     cents: list[list[float]] = []
     for cid in centroid_ids:
         v = [float(x) for x in by_id[cid]]
+        if len(v) != dim:
+            raise ValueError(f"centroid {cid} has dim {len(v)}, expected {dim}")
         nrm = 0.0
         for x in v:  # left fold, same op order as _dot / the SQL oracle
             nrm = nrm + x * x
+        if nrm == 0.0:
+            raise ValueError(f"centroid {cid} is the zero vector")
         nrm = math.sqrt(nrm)
         cents.append([x / nrm for x in v])
 
-    def scores_col(vec: str):
-        def dot_lit(c: list[float]):
-            warr = F.array(*[F.lit(x) for x in c])
-            return F.aggregate(
-                F.zip_with(F.col(vec), warr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, v_: acc + v_,
-            )
+    def dot_lit(vec: str, c: list[float]):
+        warr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col(vec), warr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v_: acc + v_,
+        )
 
-        return F.array(*[dot_lit(c) for c in cents])
-
-    assigned = df.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
-        (F.array_position(scores_col(vec_col), F.array_max(scores_col(vec_col))) - 1)
+    scores = F.array(*[dot_lit(vec_col, c) for c in cents])
+    # materialize the score array ONCE per row; argmax = first maximum
+    base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+                     scores.alias("_scores"))
+    assigned = base.select(
+        "nid", "nvec",
+        (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1)
         .cast("int").alias("cluster"),
     )
-    q_base = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-        F.posexplode(scores_col(vec_col)).alias("cluster", "score"),
+    q_base = base.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
+        F.posexplode(F.col("_scores")).alias("cluster", "score"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cluster"))
     probes = (

@@ -289,7 +289,7 @@ FROM ranked WHERE rank <= {KNN_K} ORDER BY query_id, rank
 """
 
 
-ANN_DIM = 64
+ANN_DIM = EMB_DIM  # embeddings table has ONE dimensionality
 ANN_K = 5
 ANN_PLANES = 8
 ANN_TABLES = 2

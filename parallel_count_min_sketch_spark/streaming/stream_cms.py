@@ -26,7 +26,7 @@ from ..operators.agg import cms_text_partials
 from ..sketches.cms import CountMinSketch
 
 _STATE_HEADER = struct.Struct("<4sqI")  # magic, last batch_id, ckpt-tag length
-_STATE_MAGIC = b"SCM1"
+_STATE_MAGIC = b"SCM2"  # v2: adds ckpt-tag; old SCM1 blobs are cleanly rejected
 
 
 class StreamingCMS:
@@ -56,7 +56,7 @@ class StreamingCMS:
                 data = f.read()
             magic, last_id, tag_len = _STATE_HEADER.unpack_from(data, 0)
             if magic != _STATE_MAGIC:
-                raise ValueError("not a StreamingCMS state blob")
+                raise ValueError("not a StreamingCMS v2 state blob (incompatible/older format)")
             self.last_batch_id = last_id
             off = _STATE_HEADER.size
             self.ckpt_tag = data[off:off + tag_len].decode("utf-8") or None
@@ -93,7 +93,8 @@ class StreamingCMS:
         # the batch-id watermark is only monotone WITHIN one streaming
         # checkpoint: a new checkpoint dir restarts ids at 0, and reusing
         # this state there would silently skip real data
-        tag = os.path.abspath(checkpoint_dir)
+        tag = (checkpoint_dir if "://" in checkpoint_dir
+               else os.path.abspath(checkpoint_dir))
         if self.ckpt_tag is not None and self.ckpt_tag != tag:
             raise ValueError(
                 f"state blob {self.state_path} was accumulated under streaming "

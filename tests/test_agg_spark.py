@@ -144,6 +144,12 @@ def test_grouped_sketches_skip_nulls(spark):
     assert out["en"]["total"] == 1 and out["de"]["total"] == 1
 
 
+def test_weighted_cms_path_rejects_negative_weights(spark):
+    df = spark.createDataFrame([(1, 2), (2, -3)], "item BIGINT, cnt BIGINT")
+    with pytest.raises(Exception, match="negative weights"):
+        build_cms(df, "item", CFG, weight_col="cnt")
+
+
 def test_merge_partials_large_fanin(spark, items_df):
     df, items = items_df
     partials = cms_partials(df.repartition(32), "item", CFG)
