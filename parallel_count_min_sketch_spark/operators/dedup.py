@@ -169,6 +169,47 @@ def simhash(text: str = "text", *, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash_near_dups(df: DataFrame, id_col: str, text: str = "text", *,
+                      bits: int = SIMHASH_BITS, bands: int = 4,
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into ``bands`` chunks,
+    self-join on (band, chunk), verify candidates exactly with
+    bit_count(a XOR b) <= max_hamming.
+
+    Pigeonhole guarantee: any pair within hamming distance < bands differs
+    in at most bands-1 bit positions, so at least one band is identical —
+    with the default bands=4 > max_hamming=3 no qualifying pair is missed.
+    Scale shape: the only shuffle is on the band chunks (same trade as
+    MinHash-LSH banding); verification is O(candidates)."""
+    if max_hamming >= bands:
+        raise ValueError("guarantee requires bands > max_hamming")
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    sh = simhash(text, bits=bits)
+    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    chunks = F.array(*[
+        F.shiftright(F.col("_sh"), i * rpb).bitwiseAND(F.lit(mask)).cast("bigint")
+        for i in range(bands)
+    ])
+    band_rows = base.select(
+        "_id", "_sh", F.posexplode(chunks).alias("band", "chunk"))
+    left = band_rows.select("band", "chunk", F.col("_id").alias("id_a"),
+                            F.col("_sh").alias("sh_a"))
+    right = band_rows.select("band", "chunk", F.col("_id").alias("id_b"),
+                             F.col("_sh").alias("sh_b"))
+    cands = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_set(text: str = "text", n: int = 3) -> Column:
     """Distinct token n-grams (joined with 0x1f) — shingles for Jaccard."""
     toks = F.filter(F.split(F.col(text), " "), lambda t: t != F.lit(""))

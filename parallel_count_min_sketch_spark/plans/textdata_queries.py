@@ -219,6 +219,44 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM with_ids ORDER BY doc
 """
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs over documents with planted duplicates
+    — banding, candidate join, and hamming verification all replayed by
+    the oracle."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return dd.simhash_near_dups(docs, "doc_id", max_hamming=1) \
+        .orderBy("id_a", "id_b")
+
+
+def _sql_simhash_near_dups() -> str:
+    bands, bits, max_h = 4, dd.SIMHASH_BITS, 1
+    rpb = bits // bands
+    mask = (1 << rpb) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, (sh >> {i * rpb}) & {mask} AS chunk, sh FROM shs"
+        for i in range(bands)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(ids, x -> CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
+with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM docs),
+shs AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh FROM with_ids),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sh AS sh_a, r.sh AS sh_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.chunk = r.chunk
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_h}
+ORDER BY id_a, id_b
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard over adjacent-doc pairs (verification-style pairwise
     similarity on a candidate list)."""
@@ -573,6 +611,7 @@ TEXTDATA_QUERIES = {
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),
     "simhash": (q_simhash, _sql_simhash()),
+    "simhash_near_dups": (q_simhash_near_dups, _sql_simhash_near_dups()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),

@@ -172,6 +172,23 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham_far > ham_near
 
 
+def test_simhash_near_dup_pairs(spark):
+    """Banded SimHash pair extraction: hamming<bands pairs are guaranteed
+    found; distant docs are excluded."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok3 ", "tok3x ")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id LONG, text STRING"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dd.simhash_near_dups(df, "doc_id", max_hamming=3).collect()}
+    assert pairs.get((1, 4)) == 0  # exact dup
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError, match="bands > max_hamming"):
+        dd.simhash_near_dups(df, "doc_id", bands=4, max_hamming=4)
+
+
 def test_ngram_jaccard_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")], "doc_id LONG, text STRING"
