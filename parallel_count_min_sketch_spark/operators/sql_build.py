@@ -34,13 +34,32 @@ def with_item_id(df: DataFrame, col: str, *, string_items: bool = False,
 
 
 def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
-                 weight_col: str | None = None, string_items: bool = False) -> DataFrame:
+                 weight_col: str | None = None, string_items: bool = False,
+                 pre_aggregate: bool | None = None) -> DataFrame:
     """The sketch matrix as DataFrame[depth_row INT, bucket BIGINT, counter BIGINT].
 
     Omits zero counters (a dense matrix is reconstructed by zero-filling).
+
+    ``pre_aggregate`` collapses the stream to (item, total_weight) BEFORE
+    evaluating the hash expressions, so the djb2/affine arithmetic runs once
+    per DISTINCT item instead of once per occurrence. For Zipfian text
+    (e.g. 110M token occurrences over a ~9k vocabulary) this removes ~99.99%
+    of the hash work; the extra shuffle is bounded by vocab-per-partition
+    thanks to Catalyst's map-side partial aggregation, so the plan scales.
+    Defaults on for string items (djb2 fold is the expensive step) and off
+    for integer items (bucket math is cheaper than a near-distinct shuffle).
+    The resulting matrix is bit-identical either way: sum of per-occurrence
+    weights == per-item weight totals.
     """
-    base = with_item_id(df.select(item_col, *( [weight_col] if weight_col else [] )),
-                        item_col, string_items=string_items)
+    sel = df.select(item_col, *([weight_col] if weight_col else []))
+    if pre_aggregate is None:
+        pre_aggregate = string_items
+    if pre_aggregate:
+        w_in = (F.col(weight_col).cast("bigint") if weight_col
+                else F.lit(1).cast("bigint"))
+        sel = sel.groupBy(item_col).agg(F.sum(w_in).alias("__pcms_w"))
+        weight_col = "__pcms_w"
+    base = with_item_id(sel, item_col, string_items=string_items)
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     buckets = F.array(*[F.expr(sql) for sql in cfg.bucket_sql_all_rows("item_id")])
     exploded = base.select(F.posexplode(buckets).alias("depth_row", "bucket"),
