@@ -100,7 +100,10 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, *, n_frames: int = 4
                 # deterministic "frame" byte ranges (stand-in for keyframes)
                 step = max(1, len(blob) // n_frames)
                 for f in range(n_frames):
-                    chunk = blob[f * step:(f + 1) * step] or b"\x00"
+                    # final frame extends to the end so len%n_frames tail
+                    # bytes are still covered by a frame
+                    end = len(blob) if f == n_frames - 1 else (f + 1) * step
+                    chunk = blob[f * step:end] or b"\x00"
                     img = decode_image_stub(chunk, fake=fake_decode)
                     thumb = resize_stub(img, 2, 2, fake=fake_decode)
                     out_id.append(i)

@@ -64,7 +64,12 @@ class CheckpointedCMSBuild:
         stack = [df._jdf.queryExecution().optimizedPlan()]
         while stack:
             node = stack.pop()
-            if node.nodeName() in unstable_nodes:
+            name = node.nodeName()
+            # a global Sort range-partitions on SAMPLED boundaries, so
+            # partition contents are not reproducible across runs either
+            # (sortWithinPartitions, global=false, keeps contents stable)
+            if name in unstable_nodes or (
+                    name == "Sort" and getattr(node, "global")()):
                 stable = False
                 break
             children = node.children()

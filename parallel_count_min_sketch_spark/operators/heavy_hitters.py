@@ -19,7 +19,6 @@ by the CMS eps as usual.
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterator
 
 import pyarrow as pa
@@ -40,7 +39,12 @@ def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " ")
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
-        counts: dict[str, int] = {}
+        # Arrow-native throughout: per-batch value_counts stay as Arrow
+        # tables, one vectorized group_by/sum + sort merges them at the
+        # end. No per-distinct-token Python objects — at 100x scale a
+        # partition's distinct set is millions of entries and a Python
+        # dict fold would dominate the partition's wall time.
+        parts: list[pa.Table] = []
         for batch in batches:
             col = batch.column(0)
             if col.null_count:
@@ -49,15 +53,19 @@ def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " ")
             if len(toks) == 0:
                 continue
             vc = pc.value_counts(toks)
-            for item in vc:
-                t = item["values"].as_py()
-                if t:
-                    counts[t] = counts.get(t, 0) + item["counts"].as_py()
-        if counts:
-            top = heapq.nlargest(k_per_partition, counts.items(), key=lambda kv: (kv[1], kv[0]))
-            yield pa.RecordBatch.from_pydict(
-                {"token": [t for t, _ in top], "local_count": [c for _, c in top]},
-                schema=pa.schema([("token", pa.string()), ("local_count", pa.int64())]),
+            parts.append(pa.table({"token": vc.field("values"),
+                                   "cnt": vc.field("counts")}))
+        if parts:
+            merged = pa.concat_tables(parts) \
+                .group_by("token").aggregate([("cnt", "sum")])
+            merged = merged.filter(pc.not_equal(merged.column("token"), ""))
+            top = merged.sort_by([("cnt_sum", "descending"),
+                                  ("token", "descending")])[:k_per_partition]
+            yield pa.RecordBatch.from_arrays(
+                [top.column("token").combine_chunks().cast(pa.string()),
+                 top.column("cnt_sum").combine_chunks().cast(pa.int64())],
+                schema=pa.schema([("token", pa.string()),
+                                  ("local_count", pa.int64())]),
             )
 
     return proj.mapInArrow(fold, CAND_SCHEMA)

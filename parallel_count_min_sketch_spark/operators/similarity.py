@@ -83,10 +83,13 @@ def cosine_topk_pandas(df: DataFrame, id_col: str, vec_col: str, query_ids: list
         qids_l, qmat_l = bq.value
         for batch in batches:
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = batch.column(1)
-            mat = np.array(flat.to_pylist(), dtype=np.float64)
-            if mat.size == 0:
+            la = batch.column(1)
+            if len(la) == 0:
                 continue
+            # zero-copy-ish ingestion: flatten() applies the list offsets,
+            # one contiguous values buffer -> reshape (no per-row pylists)
+            mat = (la.flatten().to_numpy(zero_copy_only=False)
+                   .astype(np.float64).reshape(len(la), -1))
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat /= norms

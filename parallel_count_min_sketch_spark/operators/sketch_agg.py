@@ -64,8 +64,41 @@ def _weighted_update(sk, values: np.ndarray, weights: np.ndarray | None) -> int:
     elif mode == "invariant":
         sk.update_batch(values)
     else:
-        sk.update_batch(np.repeat(values, weights))
+        _update_repeat_bounded(sk, values, weights)
     return int(weights.sum())
+
+
+_REPEAT_CHUNK = 1 << 20  # cap any single np.repeat expansion (~8 MB int64)
+
+
+def _update_repeat_bounded(sk, values: np.ndarray, weights: np.ndarray,
+                           max_chunk: int = _REPEAT_CHUNK) -> None:
+    """'repeat' weighted mode without unbounded allocation: pre-aggregated
+    (item, count) inputs can carry counts whose sum is arbitrarily large,
+    so np.repeat(values, weights) in one shot would allocate
+    O(sum(weights)) elements. Expand in <=max_chunk slices instead —
+    light rows grouped by running weight, heavy rows (weight >= max_chunk,
+    rare by definition) streamed as repeats of a single reused buffer."""
+    if int(weights.sum()) <= max_chunk:
+        sk.update_batch(np.repeat(values, weights))
+        return
+    heavy = weights >= max_chunk
+    if heavy.any():
+        for v, w in zip(values[heavy].tolist(), weights[heavy].tolist()):
+            full, rem = divmod(int(w), max_chunk)
+            chunk = np.full(max_chunk, v, dtype=values.dtype)
+            for _ in range(full):
+                sk.update_batch(chunk)
+            if rem:
+                sk.update_batch(chunk[:rem])
+        values, weights = values[~heavy], weights[~heavy]
+    if len(values) == 0:
+        return
+    # group light rows into runs whose expanded size stays <= 2*max_chunk
+    bins = (np.cumsum(weights) - weights) // max_chunk
+    for b in np.unique(bins):
+        m = bins == b
+        sk.update_batch(np.repeat(values[m], weights[m]))
 
 
 def sketch_partials(df, col: str, make_sketch: Callable, *,
@@ -154,8 +187,10 @@ _GROUPED_PA = pa.schema(
 
 
 def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable, *,
-                            string_items: bool = False, as_float: bool = False):
-    proj = df.select(group_col, col)
+                            string_items: bool = False, as_float: bool = False,
+                            weight_col: str | None = None):
+    cols = [group_col, col] + ([weight_col] if weight_col else [])
+    proj = df.select(*cols)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -166,8 +201,10 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
         sketches: dict[str, object] = {}
         counts: dict[str, int] = {}
         for batch in batches:
-            if batch.column(0).null_count or batch.column(1).null_count:
+            if any(batch.column(i).null_count for i in range(batch.num_columns)):
                 keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
+                if weight_col:
+                    keep = pc.and_(keep, batch.column(2).is_valid())
                 batch = batch.filter(keep)
             if batch.num_rows == 0:
                 continue
@@ -178,14 +215,15 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
                 values = vals_col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
             else:
                 values = vals_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-            for g, seg in iter_group_segments(batch, values):
+            w_all = (batch.column(2).to_numpy(zero_copy_only=False)
+                     .astype(np.int64, copy=False) if weight_col else None)
+            for g, seg, wseg in iter_group_segments(batch, values, w_all):
                 sk = sketches.get(g)
                 if sk is None:
                     sk = make_sketch()
                     sketches[g] = sk
                     counts[g] = 0
-                sk.update_batch(seg)
-                counts[g] += len(seg)
+                counts[g] += _weighted_update(sk, seg, wseg)
         if sketches:
             yield pa.RecordBatch.from_pydict(
                 {
@@ -201,10 +239,13 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
 
 def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
                    from_bytes: Callable, *, string_items: bool = False,
-                   as_float: bool = False):
-    """DataFrame[group, rows_seen, sketch]: one merged sketch per group."""
+                   as_float: bool = False, weight_col: str | None = None):
+    """DataFrame[group, rows_seen, sketch]: one merged sketch per group.
+    ``weight_col`` feeds pre-aggregated (group, item, count) inputs through
+    the per-kernel WEIGHTED dispatch (``_weighted_update``)."""
     partials = sketch_grouped_partials(df, group_col, col, make_sketch,
-                                       string_items=string_items, as_float=as_float)
+                                       string_items=string_items,
+                                       as_float=as_float, weight_col=weight_col)
 
     def merge_group(pdf):
         import pandas as pd

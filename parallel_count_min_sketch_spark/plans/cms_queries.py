@@ -209,7 +209,7 @@ pts AS (
 )
 SELECT item AS token, CAST(est AS BIGINT) AS cms_estimate
 FROM pts, n
-WHERE est >= CAST(FLOOR({HH_FRACTION} * n.n) AS BIGINT)
+WHERE est >= CAST(FLOOR(CAST({HH_FRACTION!r} AS DOUBLE) * n.n) AS BIGINT)
 ORDER BY est DESC, token
 """
 
@@ -285,7 +285,7 @@ n AS (SELECT COUNT(*) AS n FROM toks),
 counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok),
 hh AS (
   SELECT tok, exact_count FROM counts, n
-  WHERE exact_count >= CAST(FLOOR({HH_FRACTION} * n.n) AS BIGINT)
+  WHERE exact_count >= CAST(FLOOR(CAST({HH_FRACTION!r} AS DOUBLE) * n.n) AS BIGINT)
 ),
 ids AS (SELECT {djb2_sql_duckdb('tok')} AS item_id FROM toks),
 probes AS (SELECT tok AS item, {djb2_sql_duckdb('tok')} AS item_id FROM hh),
@@ -302,8 +302,63 @@ ORDER BY hh.exact_count DESC, token
 """
 
 
+def q_cms_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's accuracy report (test_cms_accuracy,
+    src/core/count_min_sketch.c:226-241 — avg/max abs error, % exact,
+    % within eps*N) as a queryable one-row aggregate over ALL distinct
+    items. Integer-exact numerators/denominators (sum_abs_err/n_distinct
+    is the avg; n_exact/n_distinct and n_within_eps/n_distinct the
+    percentages) so DuckDB replays it value-for-value; CMS one-sidedness
+    makes est - exact the abs error."""
+    from ..operators.sql_build import cms_table_df as _tbl, point_query_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    n = li.count()
+    eps_n = int(CFG.epsilon * n)
+    table = _tbl(li, "l_partkey", CFG)
+    exact = li.groupBy(F.col("l_partkey").cast("bigint").alias("item")) \
+        .agg(F.count("*").alias("exact_cnt"))
+    ests = point_query_join(table, exact.select("item"), "item", CFG)
+    err = F.col("cms_estimate") - F.col("exact_cnt")
+    return ests.join(exact, "item").agg(
+        F.count("*").alias("n_distinct"),
+        F.sum(err).alias("sum_abs_err"),
+        F.max(err).alias("max_abs_err"),
+        F.sum(F.when(err == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when(err <= eps_n, 1).otherwise(0)).cast("bigint").alias("n_within_eps"),
+        F.lit(n).cast("bigint").alias("stream_n"),
+        F.lit(eps_n).cast("bigint").alias("eps_n"),
+    )
+
+
+SQL_CMS_ACCURACY_REPORT = f"""
+WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ids),
+epsn AS (SELECT CAST(FLOOR(CAST({CFG.epsilon!r} AS DOUBLE) * n.n) AS BIGINT) AS v FROM n),
+exact AS (SELECT item_id AS item, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+          FROM ids GROUP BY 1),
+probes AS (SELECT item, item AS item_id FROM exact),
+buckets AS ({_duck_buckets_cte('item_id')}),
+probe_buckets AS ({_duck_probe_buckets()}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(pts.est - e.exact_cnt) AS BIGINT) AS sum_abs_err,
+       CAST(MAX(pts.est - e.exact_cnt) AS BIGINT) AS max_abs_err,
+       CAST(SUM(CASE WHEN pts.est = e.exact_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN pts.est - e.exact_cnt <= epsn.v THEN 1 ELSE 0 END) AS BIGINT) AS n_within_eps,
+       CAST(MAX(n.n) AS BIGINT) AS stream_n,
+       CAST(MAX(epsn.v) AS BIGINT) AS eps_n
+FROM pts JOIN exact e USING (item), n, epsn
+"""
+
+
 CMS_QUERIES = {
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
+    "cms_accuracy_report": (q_cms_accuracy_report, SQL_CMS_ACCURACY_REPORT),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
     "cms_weighted_build": (q_cms_weighted_build, SQL_CMS_WEIGHTED_BUILD),
     "cms_point_query": (q_cms_point_query, SQL_CMS_POINT_QUERY),

@@ -439,26 +439,33 @@ def q_kll_grouped_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ests[r["group"]] = sk.quantile(np.array(QUANTS))
     disc = exact_discrete_quantiles_grouped(ev, "event_type", "value", QUANTS)
 
-    # exact rank of every per-group estimate, ONE aggregation pass:
-    # rank(g, v) = count(type = g AND value <= v)
+    # exact rank of every per-group estimate via melt-to-long: the
+    # estimates become a tiny broadcast DataFrame (group, q_idx, est),
+    # rank(g, v) = count(value <= v) within the (g, q_idx) cell — one
+    # join + one groupBy whose expression count is INDEPENDENT of the
+    # number of groups (a groups x quantiles driver-built agg list would
+    # not survive 10k groups).
     vals = ev.select("event_type", "value").filter(
         F.col("value").isNotNull() & F.col("event_type").isNotNull())
-    aggs = []
-    for g in sorted(ests):
-        aggs.append(F.sum(F.when(F.col("event_type") == g, 1).otherwise(0))
-                    .alias(f"n__{g}"))
-        for i, v in enumerate(ests[g]):
-            aggs.append(
-                F.sum(F.when((F.col("event_type") == g)
-                             & (F.col("value") <= float(v)), 1).otherwise(0))
-                .alias(f"r__{g}__{i}"))
-    agg_row = vals.agg(*aggs).collect()[0]
+    est_rows = [(g, i, float(v))
+                for g in sorted(ests) for i, v in enumerate(ests[g])]
+    est_df = spark.createDataFrame(
+        est_rows, "event_type STRING, q_idx INT, est_value DOUBLE")
+    cells = (
+        vals.join(F.broadcast(est_df), "event_type")
+        .groupBy("event_type", "q_idx")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.when(F.col("value") <= F.col("est_value"), 1)
+                   .otherwise(0)).alias("rank_cnt"))
+    ).collect()
+    n_by_g = {r["event_type"]: int(r["n"]) for r in cells}
+    rank_by = {(r["event_type"], r["q_idx"]): int(r["rank_cnt"]) for r in cells}
 
     rows = []
     for g in sorted(ests):
-        n = int(agg_row[f"n__{g}"])
+        n = n_by_g[g]
         for i, (q, _r, x) in enumerate(disc[g]):
-            rank = int(agg_row[f"r__{g}__{i}"]) / n
+            rank = rank_by[(g, i)] / n
             rows.append((g, int(round(q * 100)), n, float(x),
                          bool(abs(rank - q) <= KLL_RANK_EPS)))
     return spark.createDataFrame(

@@ -483,13 +483,17 @@ FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
 
 
 NEAR_DUP_THRESHOLD_BP = 9500
+EMB_MAX_BUCKET = 128  # degenerate-bucket cap: a bucket of s co-hashed
+# vectors (zero-ish/boilerplate embeddings) would emit s^2 candidate pairs
+# on one task — same guard as LSH_MAX_BUCKET on the text path.
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the embeddings table with
     planted duplicates (every 10th vector copied under a shifted id) —
-    LSH-bucketed candidates, exact rescoring, threshold filter. Oracle
-    replays buckets + cosine exactly."""
+    LSH-bucketed candidates (degenerate buckets > EMB_MAX_BUCKET dropped),
+    exact rescoring, threshold filter. Oracle replays buckets + cap +
+    cosine exactly."""
     from ..operators.similarity import embedding_near_dups
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -499,7 +503,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         both, "vec_id", "embedding", dim=ANN_DIM,
         threshold_bp=NEAR_DUP_THRESHOLD_BP, n_planes=ANN_PLANES,
-        n_tables=ANN_TABLES,
+        n_tables=ANN_TABLES, max_bucket=EMB_MAX_BUCKET,
     ).orderBy("id_a", "id_b")
 
 
@@ -537,9 +541,14 @@ bucketed AS (
   FROM emb
 ),
 long AS ({long_rows}),
+capped AS (
+  SELECT vec_id, embedding, tbl, bucket FROM (
+    SELECT l.*, COUNT(*) OVER (PARTITION BY tbl, bucket) AS _sz FROM long l
+  ) WHERE _sz <= {EMB_MAX_BUCKET}
+),
 cands AS (
   SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-  FROM long l JOIN long r ON l.tbl = r.tbl AND l.bucket = r.bucket
+  FROM capped l JOIN capped r ON l.tbl = r.tbl AND l.bucket = r.bucket
   WHERE l.vec_id < r.vec_id
 ),
 scored AS (

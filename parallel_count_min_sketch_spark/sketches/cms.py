@@ -148,7 +148,11 @@ class CountMinSketch:
         csv_results/benchmark_1000m_linear.csv)."""
         if end < start:
             return 0
-        if end - start + 1 <= 64:
+        # The scalar cache materializes the depth x width table as Python
+        # ints; worth it only for modest tables (default 3 x 2719). A
+        # fine-epsilon sketch (eps=1e-6 -> width ~2.7M) would pin hundreds
+        # of MB to answer an 11-point range — use the vectorized path there.
+        if end - start + 1 <= 64 and self.depth * self.width <= 262_144:
             w = self.width
             cache = self._read_cache()
             s = 0

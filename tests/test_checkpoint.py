@@ -134,3 +134,16 @@ def test_changed_input_files_rejected(spark, ckpt_dir, tmp_path):
     df2 = spark.read.parquet(src)
     with pytest.raises(ValueError, match="input files changed"):
         CheckpointedCMSBuild(CFG, ckpt_dir).run(df2, "text")
+
+
+def test_global_sort_rejected(spark, ckpt_dir):
+    """A global orderBy range-partitions on SAMPLED boundaries — partition
+    contents are not reproducible across runs, so lineage must refuse it
+    (sortWithinPartitions keeps contents per-partition and stays fine)."""
+    df = web_pages(spark, 100, seed=5, partitions=4)
+    with pytest.raises(ValueError, match="lineage is unsound"):
+        CheckpointedCMSBuild(CFG, ckpt_dir).run(df.orderBy("page_id"), "text")
+    # non-global sort: same rows in the same partitions, only order differs
+    sk = CheckpointedCMSBuild(CFG, ckpt_dir).run(
+        df.sortWithinPartitions("page_id"), "text", resume=False)
+    assert sk.total > 0

@@ -153,3 +153,65 @@ def test_grouped_hll_matches_per_group_sequential(spark):
         exp = _mk_hll()
         exp.update_batch(np.array([x for l, x in rows if l == lang]))
         assert got[lang].to_bytes() == exp.to_bytes()
+
+
+def test_repeat_bounded_matches_unbounded_mass():
+    """Bounded 'repeat' expansion (chunked np.repeat) consumes the same
+    mass and honors the rank guarantee even when one row's weight dwarfs
+    the chunk cap (pre-aggregated shape that used to OOM)."""
+    from parallel_count_min_sketch_spark.operators.sketch_agg import (
+        _update_repeat_bounded,
+    )
+
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    w = np.array([5, 3000, 17, 700])
+    sk = KLLSketch(200, seed=5)
+    _update_repeat_bounded(sk, vals, w, max_chunk=256)
+    assert sk.n == int(w.sum())
+    data = np.sort(np.repeat(vals, w))
+    for q in (0.1, 0.5, 0.9):
+        est = float(sk.quantile(np.array([q]))[0])
+        # heavy atoms make single-value rank intervals wide: the estimate
+        # is right when q lies inside its [left_rank, right_rank] interval
+        lo = np.searchsorted(data, est, side="left") / data.size
+        hi = np.searchsorted(data, est, side="right") / data.size
+        assert lo - 0.05 <= q <= hi + 0.05
+
+
+@pytest.fixture(scope="module")
+def grouped_weighted_df(spark):
+    rng = np.random.default_rng(11)
+    groups = rng.choice(["en", "de", "fr"], size=500).tolist()
+    items = rng.integers(1, 300, size=500)
+    counts = rng.integers(1, 5, size=500)
+    rows = [(g, int(i), int(c)) for g, i, c in zip(groups, items, counts)]
+    df = spark.createDataFrame(rows, "g STRING, item BIGINT, cnt BIGINT") \
+        .repartition(4)
+    exploded = df.select(
+        "g", F.explode(F.expr("transform(sequence(1, cnt), x -> item)")).alias("item")
+    )
+    return df, exploded
+
+
+def test_weighted_grouped_cms_equals_exploded(spark, grouped_weighted_df):
+    from parallel_count_min_sketch_spark.config import CMSConfig
+    from parallel_count_min_sketch_spark.operators.agg import cms_grouped
+
+    df, exploded = grouped_weighted_df
+    cfg = CMSConfig(epsilon=0.01, delta=0.1, seed=5)
+    w = {r["group"]: bytes(r["sketch"])
+         for r in cms_grouped(df, "g", "item", cfg, weight_col="cnt").collect()}
+    e = {r["group"]: bytes(r["sketch"])
+         for r in cms_grouped(exploded, "g", "item", cfg).collect()}
+    assert w == e  # native weighted CMS update is exact per group
+
+
+def test_weighted_grouped_hll_equals_exploded(spark, grouped_weighted_df):
+    df, exploded = grouped_weighted_df
+    w = {r["group"]: bytes(r["sketch"])
+         for r in sketch_grouped(df, "g", "item", _mk_hll, _hll_from_bytes,
+                                 weight_col="cnt").collect()}
+    e = {r["group"]: bytes(r["sketch"])
+         for r in sketch_grouped(exploded, "g", "item", _mk_hll,
+                                 _hll_from_bytes).collect()}
+    assert w == e  # duplicates invariant for HLL -> identical registers

@@ -373,3 +373,22 @@ def test_binary_pipeline_end_to_end(spark):
     feats2 = extract_features(df.repartition(3), "blob", "id").collect()
     assert {r["id"]: r["mean_intensity_bp"] for r in feats} == \
         {r["id"]: r["mean_intensity_bp"] for r in feats2}
+
+
+def test_embedding_near_dups_hot_bucket_capped(spark):
+    """A degenerate bucket (hundreds of identical/boilerplate vectors)
+    must be dropped by max_bucket instead of emitting s^2 pairs on one
+    task; small legitimate buckets keep their pairs."""
+    from parallel_count_min_sketch_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    hot = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(500)]
+    cool = [(1000 + i, [0.0, 1.0, 0.05 * i, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(hot + cool, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    out = embedding_near_dups(df, "vec_id", "embedding", dim=4,
+                              threshold_bp=9500, max_bucket=64).collect()
+    ids = {i for r in out for i in (r["id_a"], r["id_b"])}
+    assert not (ids & set(range(500)))  # hot bucket dropped entirely
+    assert len(out) <= 10  # cool cluster pairs only, bounded
+    assert all(r["cosine_bp"] >= 9500 for r in out)
