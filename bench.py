@@ -28,6 +28,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
 BUILD_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+
+def _median(xs: list) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 BENCH_QUERIES = [
@@ -104,7 +110,7 @@ def bench_cms_build(spark, corpus_path: str) -> dict:
     warmup_sec = time.perf_counter() - t0
     n_tokens = sum(r["counter"] for r in rows if r["depth_row"] == 0)
 
-    # 5 warm runs per config, mean +/- spread (the reference's
+    # 5 warm runs per config, median +/- spread (the reference's
     # mpi_benchmark.py:143-151 averages 10 runs; this sandbox's page-fault
     # stalls also make single runs untrustworthy)
     sql_runs = []
@@ -120,8 +126,12 @@ def bench_cms_build(spark, corpus_path: str) -> dict:
         arrow_runs.append(time.perf_counter() - t0)
     assert sk.total == n_tokens, "sql and arrow builds disagree on token mass"
 
-    sql_wall = sum(sql_runs) / len(sql_runs)
-    arrow_wall = sum(arrow_runs) / len(arrow_runs)
+    # median, not mean: this sandbox suffers bursty host-level stalls
+    # (observed 14s-119s for the identical warm job minutes apart); the
+    # median of 5 is robust to a single stalled run while still averaging
+    # away ordinary jitter. Raw runs ship in the JSON for transparency.
+    sql_wall = _median(sql_runs)
+    arrow_wall = _median(arrow_runs)
     best = min(sql_wall, arrow_wall)
     return {
         "build_sec": round(best, 3),
@@ -159,12 +169,28 @@ def bench_reference_parity(spark, n_items: int) -> dict:
     # 8B/item JVM->Python transfer dominates at this scale (measured 138s
     # vs 12s at 250M) — path equality is covered by tests at small n.
     collect_cms(df.limit(100_000), "item", cfg)  # warm JIT
-    build_runs = []
+    per_occ_runs = []
     for _ in range(BUILD_RUNS):
         t0 = time.perf_counter()
         sk = collect_cms(df, "item", cfg)
-        build_runs.append(time.perf_counter() - t0)
-    build_sec = sum(build_runs) / len(build_runs)
+        per_occ_runs.append(time.perf_counter() - t0)
+    # distinct-first plan: the mixture is ~9k distinct values, so a
+    # partial/final count-by-value bounds every partition's agg output by
+    # the (tiny) cardinality and the hash arithmetic runs once per DISTINCT
+    # item — the same two-phase plan the text build uses. Bit-identical
+    # sketch (sum of per-occurrence weights == per-item totals; asserted).
+    from parallel_count_min_sketch_spark.operators.sql_build import cms_table_df
+    preagg_runs = []
+    for _ in range(BUILD_RUNS):
+        t0 = time.perf_counter()
+        rows = cms_table_df(df, "item", cfg, pre_aggregate=True).collect()
+        preagg_runs.append(time.perf_counter() - t0)
+    sk2 = cfg.new_sketch()
+    for r in rows:
+        sk2.table[r["depth_row"], r["bucket"]] = r["counter"]
+    assert (sk2.table == sk.table).all(), "pre-agg build diverged"
+    build_runs = min(per_occ_runs, preagg_runs, key=_median)
+    build_sec = _median(build_runs)
     df.unpersist()
     assert int(sk.point_query(np.array([123]))[0]) >= n_exact_123  # one-sided
 
@@ -197,6 +223,8 @@ def bench_reference_parity(spark, n_items: int) -> dict:
         "items_build_sec": round(build_sec, 3),
         "items_build_runs": [round(w, 3) for w in build_runs],
         "items_build_spread_sec": round(max(build_runs) - min(build_runs), 3),
+        "items_build_per_occurrence_sec": round(_median(per_occ_runs), 3),
+        "items_build_preagg_sec": round(_median(preagg_runs), 3),
         "n_items": n_items,
         "items_per_sec": round(n_items / build_sec, 1),
         "exact_123": int(n_exact_123),
@@ -232,6 +260,8 @@ def main() -> None:
     timings["cms_build_corpus_sql"] = build["sql_build_sec"]
     timings["cms_build_corpus_arrow"] = build["arrow_build_sec"]
     timings["cms_build_warmup"] = build["warmup_sec"]
+    timings["cms_build_corpus_sql_runs"] = build["sql_build_runs"]
+    timings["cms_build_corpus_arrow_runs"] = build["arrow_build_runs"]
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -116,9 +116,10 @@ def _parity_1000m_section() -> str:
 | range query per-call / batched | {r['range_query_us']:.1f} / {r['range_query_batch_us']:.2f} us | ~4.4 us (C loop) |
 | self inner product | {r['inner_product_us']:.1f} us | ~27-30 us |
 
-Same machine class as the reference's single-node runs: **1.65x its best
-single-node throughput at the identical item count**, with the 4-node MPI
-cluster (4x the memory channels) the only configuration ahead."""
+Same machine class as the reference's single-node runs:
+**{66.1 / r['items_build_sec']:.2f}x its best single-node throughput at the
+identical item count** and {20.5 / r['items_build_sec']:.2f}x the best 4-node
+MPI configuration (which has 4x the memory channels)."""
 
 
 def main() -> None:
@@ -238,11 +239,11 @@ numbers above already exceed the reference's 32-proc cluster throughput.
 
 """ + _parity_section() + f"""
 
-Caveat: all local[N] levels share ONE machine's memory bandwidth, which
-saturates around 8 cores here (the arrow path is bandwidth-bound: local[8]
-~= local[32]); the sandbox additionally throttles fresh-page faults
-(~20 MB/s first touch; see parallel_count_min_sketch_spark/memtune.py).
-The N -> 4N criterion is therefore evidenced at the {args.n} -> {args.n * 4}
+Caveat: all local[N] levels share ONE machine's memory bandwidth and
+parquet-decode cache footprint, so high-core spans degrade below the
+embarrassingly-parallel ideal (and the sandbox throttles fresh-page faults
+to ~20 MB/s first touch; see parallel_count_min_sketch_spark/memtune.py).
+The N -> 4N criterion is evidenced at the {args.n} -> {args.n * 4}
 span, where per-core bandwidth is not yet the binding constraint — on a real
 multi-executor cluster each executor brings its own memory channels, which is
 the regime the >=0.8 criterion describes (the update phase itself is

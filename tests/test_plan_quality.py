@@ -124,3 +124,15 @@ def test_partials_single_pass_no_shuffle_before_udf(spark, pages_path):
     assert udf_pos != -1, plan
     below = plan[udf_pos:]
     assert "Exchange" not in below, f"shuffle below the partial UDF:\n{plan}"
+
+
+def test_sql_build_preaggregates_distinct_items(spark, pages_path):
+    """String builds must run the djb2/bucket arithmetic once per DISTINCT
+    item: the plan carries TWO partial/final aggregate pairs — the raw-token
+    pre-aggregation feeding the bucket aggregation — so hash work scales
+    with vocabulary, not occurrences."""
+    df = spark.read.parquet(pages_path)
+    toks = df.select(F.explode(F.split("text", " ")).alias("tok")).filter("tok != ''")
+    plan = _plan(cms_table_df(toks, "tok", CFG, string_items=True), execute=True)
+    assert plan.count("HashAggregate") >= 4, plan
+    assert plan.count("partial_sum") >= 2, plan
