@@ -67,6 +67,31 @@ def test_jvm_sql_build_matches_arrow_build(spark, items_df):
     assert np.array_equal(got.table, exp.table)
 
 
+def test_pre_aggregate_plan_is_bit_identical(spark, items_df):
+    """The distinct-first plan (count-by-value, then hash once per distinct
+    item) must produce the same matrix as the per-occurrence plan — for
+    integer and string items, weighted and unweighted."""
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.operators.sql_build import cms_table_df
+
+    df, items = items_df
+
+    def table(d, **kw):
+        rows = cms_table_df(d, "item", CFG, **kw).collect()
+        return sorted((r["depth_row"], r["bucket"], r["counter"]) for r in rows)
+
+    assert table(df, pre_aggregate=True) == table(df, pre_aggregate=False)
+
+    wdf = df.withColumn("w", (F.col("item") % 7 + 1).cast("bigint"))
+    assert (table(wdf, weight_col="w", pre_aggregate=True)
+            == table(wdf, weight_col="w", pre_aggregate=False))
+
+    sdf = df.select(F.concat(F.lit("tok"), F.col("item")).alias("item"))
+    assert (table(sdf, string_items=True, pre_aggregate=True)
+            == table(sdf, string_items=True, pre_aggregate=False))
+
+
 def test_point_query_df_matches_kernel(spark, items_df):
     df, items = items_df
     exp = expected_sketch(items)
