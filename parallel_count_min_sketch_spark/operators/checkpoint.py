@@ -117,10 +117,13 @@ class CheckpointedCMSBuild:
         fingerprint = self._fingerprint(df)
         if not fingerprint["scan_stable"]:
             raise ValueError(
-                "partition-id lineage is unsound downstream of a repartition "
-                "(partition contents shift with parallelism while the count "
-                "stays fixed); checkpoint the un-repartitioned scan, or use "
-                "FileCheckpointedCMSBuild for file-granular lineage"
+                "partition-id lineage is unsound downstream of a "
+                "repartition/rebalance or global sort (partition contents "
+                "shift with parallelism or sampled range boundaries while "
+                "the count stays fixed); checkpoint the plain scan — use "
+                "sortWithinPartitions instead of orderBy if ordering is "
+                "needed — or use FileCheckpointedCMSBuild for file-granular "
+                "lineage"
             )
         meta = self._read_meta() if resume else None
         if meta is not None:

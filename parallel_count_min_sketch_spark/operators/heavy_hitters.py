@@ -94,7 +94,12 @@ def heavy_hitters_scalable(df, text_col: str, cfg: CMSConfig, phi: float, *,
         k_per_partition = max(16, int(2.0 / phi))
     toks = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
         .filter(F.col("tok") != "")
-    table = cms_table_df(toks, "tok", cfg, string_items=True)
+    # pre_aggregate=False: the distinct-first plan would shuffle one row per
+    # DISTINCT token — on the high-distinct corpora this operator targets
+    # that breaks the bounded-shuffle guarantee above. The per-occurrence
+    # bucket aggregate keeps every shuffle <= depth*width rows/partition.
+    table = cms_table_df(toks, "tok", cfg, string_items=True,
+                         pre_aggregate=False)
     table.cache()
     n = (
         table.filter(F.col("depth_row") == 0)

@@ -21,6 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..memtune import tune_allocator
@@ -87,7 +88,15 @@ def cosine_topk_pandas(df: DataFrame, id_col: str, vec_col: str, query_ids: list
             if len(la) == 0:
                 continue
             # zero-copy-ish ingestion: flatten() applies the list offsets,
-            # one contiguous values buffer -> reshape (no per-row pylists)
+            # one contiguous values buffer -> reshape (no per-row pylists).
+            # reshape silently misaligns rows if any vector's length
+            # differs (and drops null rows' slots), so validate first.
+            lens = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+            if la.null_count or len(np.unique(lens)) != 1 or lens[0] == 0:
+                raise ValueError(
+                    f"{vec_col!r} must be non-null fixed-dimension vectors; "
+                    f"got null_count={la.null_count}, lengths="
+                    f"{np.unique(lens)[:5].tolist()}")
             mat = (la.flatten().to_numpy(zero_copy_only=False)
                    .astype(np.float64).reshape(len(la), -1))
             norms = np.linalg.norm(mat, axis=1, keepdims=True)

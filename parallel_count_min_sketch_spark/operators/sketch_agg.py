@@ -84,9 +84,10 @@ def _update_repeat_bounded(sk, values: np.ndarray, weights: np.ndarray,
         return
     heavy = weights >= max_chunk
     if heavy.any():
+        chunk = np.empty(max_chunk, dtype=values.dtype)  # one reused buffer
         for v, w in zip(values[heavy].tolist(), weights[heavy].tolist()):
             full, rem = divmod(int(w), max_chunk)
-            chunk = np.full(max_chunk, v, dtype=values.dtype)
+            chunk.fill(v)
             for _ in range(full):
                 sk.update_batch(chunk)
             if rem:

@@ -54,6 +54,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
 
     from pyspark.sql import SparkSession
 
@@ -90,11 +92,13 @@ def main() -> None:
         w = time.perf_counter() - t0
         cand_best = w if cand_best is None or w < cand_best else cand_best
 
-    hh_rows = heavy_hitters_scalable(df, "text", cfg, phi).collect()  # warm
+    hh = lambda: heavy_hitters_scalable(df, "text", cfg, phi,
+                                        k_per_partition=k).collect()
+    hh_rows = hh()  # warm
     total_best = None
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        hh_rows = heavy_hitters_scalable(df, "text", cfg, phi).collect()
+        hh_rows = hh()
         w = time.perf_counter() - t0
         total_best = w if total_best is None or w < total_best else total_best
 

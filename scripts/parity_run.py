@@ -34,7 +34,7 @@ def main() -> None:
     spark.stop()
     res["config"] = (
         f"local[{args.cpus}], JVM Catalyst path (best of per-occurrence vs "
-        f"distinct-first plans), items cached in memory, mean of {args.runs} warm runs"
+        f"distinct-first plans), items cached in memory, median of {args.runs} warm runs"
     )
     name = "parity_1000m.json" if args.items >= 1_000_000_000 else "parity.json"
     out = os.path.join(REPO, "BENCH", name)
