@@ -136,3 +136,17 @@ def test_sql_build_preaggregates_distinct_items(spark, pages_path):
     plan = _plan(cms_table_df(toks, "tok", CFG, string_items=True), execute=True)
     assert plan.count("HashAggregate") >= 4, plan
     assert plan.count("partial_sum") >= 2, plan
+
+
+def test_heavy_hitter_build_never_shuffles_distinct_tokens(spark, pages_path):
+    """heavy_hitters_scalable's bounded-shuffle guarantee requires the
+    sketch build to aggregate on (depth_row, bucket) directly: a
+    distinct-first groupBy(tok) would shuffle one row per DISTINCT token —
+    exactly what the operator promises never to do."""
+    from parallel_count_min_sketch_spark.operators.heavy_hitters import (
+        heavy_hitters_scalable,
+    )
+
+    df = spark.read.parquet(pages_path)
+    plan = _plan(heavy_hitters_scalable(df, "text", CFG, 0.02), execute=True)
+    assert not re.search(r"HashAggregate\(keys=\[tok#", plan), plan
