@@ -45,6 +45,16 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "exact_token_counts",
     "cms_accuracy_report",
+    # training-data flagships (documents/embeddings tables at the same sf)
+    "dedup_exact",
+    "lsh_pairs",
+    # (simhash_near_dups is gate-checked but not timed here: the synthetic
+    # docs are template-heavy, so its sf0.1 output is ~2M genuine pairs and
+    # the timing measures collect volume, not operator cost)
+    "simhash",
+    "embedding_knn",
+    "ann_multiprobe",
+    "text_quality",
 ]
 
 

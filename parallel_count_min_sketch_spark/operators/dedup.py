@@ -169,6 +169,48 @@ def simhash(text: str = "text", *, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
+def simhash_table(df: DataFrame, id_col: str, text: str = "text", *,
+                  bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprints as DataFrame[(_id, _sh)] on the codegen path.
+
+    Identical values to ``simhash()`` (equality-tested), but computed via
+    explode -> distinct (doc, token) -> djb2 once per DISTINCT token ->
+    ``bits`` columnar bit-count sums. The Column form's HOF folds are
+    interpreted per array element by Spark (never whole-stage codegen'd),
+    which makes them the bottleneck at corpus scale; this formulation keeps
+    every hot expression inside codegen. Scale shape: one (doc, token)
+    distinct shuffle + one groupBy(doc) — the same shape as exact dedup —
+    and the vocabulary join is AQE-sized (broadcast for real vocabularies).
+
+    Bit rule matches simhash(): bit i set iff the +/-1 vote sum over the
+    doc's distinct token ids is > 0, i.e. 2 * count(ids with bit i) > n.
+    Docs with no tokens fingerprint to 0 (empty vote vector), as in the
+    Column form.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.split(F.col(text), " ")).alias("_tok"))
+        .filter(F.col("_tok") != "").distinct()
+    )
+    vocab = toks.select("_tok").distinct() \
+        .withColumn("_tid", F.expr(djb2_sql_spark("_tok")))
+    joined = toks.join(vocab, "_tok")
+    ones = [
+        F.sum(F.shiftright(F.col("_tid"), i).bitwiseAND(F.lit(1))).alias(f"_o{i}")
+        for i in range(bits)
+    ]
+    votes = joined.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
+    sh = F.lit(0).cast("bigint")
+    for i in range(bits):
+        sh = sh + F.when(F.col(f"_o{i}") * 2 > F.col("_n"),
+                         F.lit(1 << i).cast("bigint")) \
+                   .otherwise(F.lit(0).cast("bigint"))
+    fp = votes.select("_id", sh.alias("_sh"))
+    base = df.select(F.col(id_col).alias("_id"))
+    return base.join(fp, "_id", "left").select(
+        "_id", F.coalesce("_sh", F.lit(0).cast("bigint")).alias("_sh"))
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text: str = "text", *,
                       bits: int = SIMHASH_BITS, bands: int = 4,
                       max_hamming: int = 3) -> DataFrame:
@@ -185,8 +227,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text: str = "text", *,
         raise ValueError("guarantee requires bands > max_hamming")
     rpb = bits // bands
     mask = (1 << rpb) - 1
-    sh = simhash(text, bits=bits)
-    base = df.select(F.col(id_col).alias("_id"), sh.alias("_sh"))
+    base = simhash_table(df, id_col, text, bits=bits)
     chunks = F.array(*[
         F.shiftright(F.col("_sh"), i * rpb).bitwiseAND(F.lit(mask)).cast("bigint")
         for i in range(bands)

@@ -204,7 +204,9 @@ ORDER BY id_a, id_b
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select("doc_id", dd.simhash("text").alias("simhash")).orderBy("doc_id")
+    return (dd.simhash_table(docs, "doc_id")
+            .select(F.col("_id").alias("doc_id"), F.col("_sh").alias("simhash"))
+            .orderBy("doc_id"))
 
 
 def _sql_simhash() -> str:

@@ -172,6 +172,23 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham_far > ham_near
 
 
+def test_simhash_table_equals_column_form(spark):
+    """The codegen-path fingerprint table must match the HOF Column form
+    exactly, including empty and unicode docs (empty -> fingerprint 0)."""
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "héllo 日本語 café"), (3, ""), (4, "x"),
+         (5, "a b c a")],
+        "doc_id LONG, text STRING",
+    )
+    col_form = {r["doc_id"]: r["sh"] for r in
+                df.select("doc_id", dd.simhash("text").alias("sh")).collect()}
+    tbl_form = {r["_id"]: r["_sh"] for r in
+                dd.simhash_table(df, "doc_id").collect()}
+    assert col_form == tbl_form
+    assert tbl_form[3] == 0
+    assert tbl_form[1] == tbl_form[5]
+
+
 def test_simhash_near_dup_pairs(spark):
     """Banded SimHash pair extraction: hamming<bands pairs are guaranteed
     found; distant docs are excluded."""
