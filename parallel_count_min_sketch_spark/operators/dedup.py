@@ -58,13 +58,46 @@ def minhash_signature(text: str = "text", *, num_perms: int = DEFAULT_PERMS,
     return F.array(*sigs)
 
 
+def minhash_table(df: DataFrame, id_col: str, text: str = "text", *,
+                  num_perms: int = DEFAULT_PERMS,
+                  seed: int = MINHASH_SEED) -> DataFrame:
+    """MinHash signatures as DataFrame[(_id, _sig array<bigint>)] on the
+    codegen path: explode -> distinct (doc, token) -> djb2 + the
+    ``num_perms`` affine permutations once per DISTINCT token -> columnar
+    MIN aggregates per doc. Identical values to ``minhash_signature()``
+    (equality-tested) — the Column form's per-permutation HOF transforms
+    are interpreted per array element, this stays inside whole-stage
+    codegen and hashes each distinct token once instead of once per doc.
+    Docs with no tokens keep the Column form's all-NULL signature."""
+    a, b = affine_params(seed, num_perms)
+    toks = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.split(F.col(text), " ")).alias("_tok"))
+        .filter(F.col("_tok") != "").distinct()
+    )
+    tid = F.expr(djb2_sql_spark("_tok")) % MERSENNE_PRIME
+    vocab = toks.select("_tok").distinct().select(
+        "_tok",
+        *[((F.lit(int(a[j])) * tid + F.lit(int(b[j]))) % MERSENNE_PRIME)
+          .alias(f"_p{j}") for j in range(num_perms)],
+    )
+    mins = toks.join(vocab, "_tok").groupBy("_id").agg(
+        *[F.min(f"_p{j}").alias(f"_m{j}") for j in range(num_perms)])
+    sig = mins.select(
+        "_id", F.array(*[F.col(f"_m{j}") for j in range(num_perms)]).alias("_sig"))
+    base = df.select(F.col(id_col).alias("_id"))
+    empty = F.array(*[F.lit(None).cast("bigint")] * num_perms)
+    return base.join(sig, "_id", "left").select(
+        "_id", F.when(F.col("_sig").isNull(), empty)
+                .otherwise(F.col("_sig")).alias("_sig"))
+
+
 def minhash_long(df: DataFrame, id_col: str, text: str = "text", *,
                  num_perms: int = DEFAULT_PERMS, seed: int = MINHASH_SEED) -> DataFrame:
     """(id, perm, minhash) long format — one row per permutation."""
-    return df.select(
-        F.col(id_col),
-        F.posexplode(minhash_signature(text, num_perms=num_perms, seed=seed))
-        .alias("perm", "minhash"),
+    return minhash_table(df, id_col, text, num_perms=num_perms, seed=seed).select(
+        F.col("_id").alias(id_col),
+        F.posexplode("_sig").alias("perm", "minhash"),
     )
 
 
@@ -74,8 +107,7 @@ def lsh_band_rows(df: DataFrame, id_col: str, text: str = "text", *,
     """(_id, band, band_key): one row per (doc, band) with the band's
     minhashes folded into a single bigint key."""
     rows_per_band = num_perms // bands
-    sig = minhash_signature(text, num_perms=num_perms, seed=seed)
-    banded = df.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    banded = minhash_table(df, id_col, text, num_perms=num_perms, seed=seed)
     return banded.select(
         "_id",
         F.posexplode(

@@ -172,6 +172,23 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham_far > ham_near
 
 
+def test_minhash_table_equals_column_form(spark):
+    """The codegen-path signature table must match the HOF Column form
+    exactly, including empty docs (all-NULL signature)."""
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "héllo 日本語 café"), (3, ""), (4, "a b c a")],
+        "doc_id LONG, text STRING",
+    )
+    col_form = {r["doc_id"]: r["sig"] for r in
+                df.select("doc_id",
+                          dd.minhash_signature("text").alias("sig")).collect()}
+    tbl_form = {r["_id"]: r["_sig"] for r in
+                dd.minhash_table(df, "doc_id").collect()}
+    assert col_form == tbl_form
+    assert tbl_form[3] == [None] * dd.DEFAULT_PERMS
+    assert tbl_form[1] == tbl_form[4]
+
+
 def test_simhash_table_equals_column_form(spark):
     """The codegen-path fingerprint table must match the HOF Column form
     exactly, including empty and unicode docs (empty -> fingerprint 0)."""
