@@ -302,6 +302,59 @@ ORDER BY hh.exact_count DESC, token
 """
 
 
+def q_cms_url_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-host frequency via CMS — the north star's 'token and URL-host
+    counts' companion to the token queries. Synthesizes the web-page url
+    shape from ``documents`` (deterministic: https://{source}.example/doc/
+    {doc_id}), extracts the host JVM-side (operators/skew.host_of_url
+    regex — no Python in the path), sketches the host stream on the
+    string/djb2 path, and reports CMS estimate vs exact count per host.
+    Hosts are low-cardinality and heavy by construction, so this is the
+    skewed-key regime the engine's salting/two-phase rails target."""
+    from ..operators.skew import host_of_url
+    from ..operators.sql_build import cms_table_df as _tbl, point_query_join
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hosts = pages.select(host_of_url("url").alias("host"))
+    table = _tbl(hosts, "host", CFG, string_items=True)
+    exact = hosts.groupBy("host").agg(F.count("*").alias("exact_count"))
+    pts = point_query_join(table, exact.select("host"), "host", CFG,
+                           probes_are_strings=True)
+    return (
+        exact.join(pts.withColumnRenamed("item", "host"), "host")
+        .select("host", "exact_count", "cms_estimate")
+        .orderBy("host")
+    )
+
+
+SQL_CMS_URL_HOST_COUNTS = f"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hosts AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host FROM pages
+),
+exact AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS exact_count FROM hosts GROUP BY host),
+ids AS (SELECT {djb2_sql_duckdb('host')} AS item_id FROM hosts),
+probes AS (SELECT host AS item, {djb2_sql_duckdb('host')} AS item_id FROM exact),
+buckets AS ({{BUCKETS}}),
+probe_buckets AS ({{PROBE_BUCKETS}}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item
+)
+SELECT e.host, e.exact_count, CAST(pts.est AS BIGINT) AS cms_estimate
+FROM exact e JOIN pts ON pts.item = e.host
+ORDER BY e.host
+""".replace("{BUCKETS}", _duck_buckets_cte("item_id")) \
+   .replace("{PROBE_BUCKETS}", _duck_probe_buckets())
+
+
 def q_cms_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's accuracy report (test_cms_accuracy,
     src/core/count_min_sketch.c:226-241 — avg/max abs error, % exact,
@@ -365,6 +418,7 @@ CMS_QUERIES = {
     "cms_range_query": (q_cms_range_query, SQL_CMS_RANGE_QUERY),
     "cms_inner_product": (q_cms_inner_product, SQL_CMS_INNER_PRODUCT),
     "cms_token_point_query": (q_cms_token_point_query, SQL_CMS_TOKEN_POINT_QUERY),
+    "cms_url_host_counts": (q_cms_url_host_counts, SQL_CMS_URL_HOST_COUNTS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "exact_oracle_counts": (q_exact_oracle_counts, SQL_EXACT_ORACLE_COUNTS),
     "exact_token_counts": (q_exact_token_counts, SQL_EXACT_TOKEN_COUNTS),
