@@ -3,11 +3,14 @@ groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all pure-JVM
 DataFrame expressions (codegen'd, no Python in the hot path), with the
 hash constants seed-derived so DuckDB oracles replay them exactly.
 
-Scale notes (100 TB): exact dedup is one shuffle on a 128-bit digest;
-MinHash-LSH shuffles only (band_key, doc_id) pairs — candidate pairs are
-generated per LSH bucket via a self-join on the band hash, never all-pairs;
-SimHash is a narrow map. n-gram Jaccard is for verifying candidate pairs
-(quadratic only within a candidate set, here a planted pair list).
+Scale notes (100 TB): exact dedup is one shuffle on a 128-bit digest.
+MinHash and SimHash fingerprints route through the codegen table forms
+(minhash_table / simhash_table), whose shape is one distinct shuffle of
+the (doc, token) stream + an AQE-sized vocabulary join + one groupBy(doc)
+— the same shape as exact dedup, with every hot expression inside
+whole-stage codegen. LSH candidate pairs then shuffle only (band_key,
+doc_id) rows and self-join per bucket, never all-pairs. n-gram Jaccard is
+for verifying candidate pairs (quadratic only within a candidate set).
 """
 
 from __future__ import annotations
@@ -36,6 +39,31 @@ def token_id_set(text: str = "text") -> Column:
 
     toks = f"array_distinct(filter(split({text}, ' '), t -> t != ''))"
     return F.expr(f"transform({toks}, t -> {djb2_sql_spark('t')})")
+
+
+def _guarded_id(id_col: str) -> Column:
+    """``id_col`` as ``_id``, failing the job on NULL: a NULL document key
+    would silently fingerprint as an empty doc (the signature-restoring
+    left join never matches NULL). The assert lives inside the projected
+    expression so column pruning cannot drop it."""
+    col = F.col(id_col)
+    return F.when(
+        F.assert_true(col.isNotNull(),
+                      F.lit(f"fingerprint tables require non-null {id_col}")).isNull(),
+        col,
+    ).alias("_id")
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Distinct (``_id``, ``_tok``) pairs — the shared tokenization front of
+    minhash_table and simhash_table. ``id_col`` is the DOCUMENT IDENTITY:
+    rows sharing an id are treated as one document (their token sets
+    union); NULL ids raise (see _guarded_id)."""
+    return (
+        df.select(_guarded_id(id_col),
+                  F.explode(F.split(F.col(text), " ")).alias("_tok"))
+        .filter(F.col("_tok") != "").distinct()
+    )
 
 
 def minhash_signature(text: str = "text", *, num_perms: int = DEFAULT_PERMS,
@@ -68,24 +96,26 @@ def minhash_table(df: DataFrame, id_col: str, text: str = "text", *,
     (equality-tested) — the Column form's per-permutation HOF transforms
     are interpreted per array element, this stays inside whole-stage
     codegen and hashes each distinct token once instead of once per doc.
-    Docs with no tokens keep the Column form's all-NULL signature."""
+    Docs with no tokens keep the Column form's all-NULL signature.
+
+    ``id_col`` is the document identity: rows sharing an id union their
+    token sets into one signature; NULL ids raise at runtime."""
     a, b = affine_params(seed, num_perms)
-    toks = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(F.split(F.col(text), " ")).alias("_tok"))
-        .filter(F.col("_tok") != "").distinct()
-    )
-    tid = F.expr(djb2_sql_spark("_tok")) % MERSENNE_PRIME
-    vocab = toks.select("_tok").distinct().select(
-        "_tok",
-        *[((F.lit(int(a[j])) * tid + F.lit(int(b[j]))) % MERSENNE_PRIME)
-          .alias(f"_p{j}") for j in range(num_perms)],
+    toks = _doc_tokens(df, id_col, text)
+    vocab = (
+        toks.select("_tok").distinct()
+        .withColumn("_tid", F.expr(djb2_sql_spark("_tok")) % MERSENNE_PRIME)
+        .select(
+            "_tok",
+            *[((F.lit(int(a[j])) * F.col("_tid") + F.lit(int(b[j]))) % MERSENNE_PRIME)
+              .alias(f"_p{j}") for j in range(num_perms)],
+        )
     )
     mins = toks.join(vocab, "_tok").groupBy("_id").agg(
         *[F.min(f"_p{j}").alias(f"_m{j}") for j in range(num_perms)])
     sig = mins.select(
         "_id", F.array(*[F.col(f"_m{j}") for j in range(num_perms)]).alias("_sig"))
-    base = df.select(F.col(id_col).alias("_id"))
+    base = df.select(_guarded_id(id_col))
     empty = F.array(*[F.lit(None).cast("bigint")] * num_perms)
     return base.join(sig, "_id", "left").select(
         "_id", F.when(F.col("_sig").isNull(), empty)
@@ -218,12 +248,11 @@ def simhash_table(df: DataFrame, id_col: str, text: str = "text", *,
     doc's distinct token ids is > 0, i.e. 2 * count(ids with bit i) > n.
     Docs with no tokens fingerprint to 0 (empty vote vector), as in the
     Column form.
+
+    ``id_col`` is the document identity: rows sharing an id union their
+    token sets into one fingerprint; NULL ids raise at runtime.
     """
-    toks = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.explode(F.split(F.col(text), " ")).alias("_tok"))
-        .filter(F.col("_tok") != "").distinct()
-    )
+    toks = _doc_tokens(df, id_col, text)
     vocab = toks.select("_tok").distinct() \
         .withColumn("_tid", F.expr(djb2_sql_spark("_tok")))
     joined = toks.join(vocab, "_tok")
@@ -238,7 +267,7 @@ def simhash_table(df: DataFrame, id_col: str, text: str = "text", *,
                          F.lit(1 << i).cast("bigint")) \
                    .otherwise(F.lit(0).cast("bigint"))
     fp = votes.select("_id", sh.alias("_sh"))
-    base = df.select(F.col(id_col).alias("_id"))
+    base = df.select(_guarded_id(id_col))
     return base.join(fp, "_id", "left").select(
         "_id", F.coalesce("_sh", F.lit(0).cast("bigint")).alias("_sh"))
 

@@ -206,6 +206,30 @@ def test_simhash_table_equals_column_form(spark):
     assert tbl_form[1] == tbl_form[5]
 
 
+def test_fingerprint_tables_id_semantics(spark):
+    """id_col is the document identity: duplicate ids union token sets
+    (documented semantics), NULL ids fail the job instead of silently
+    fingerprinting as an empty doc."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    dup = spark.createDataFrame(
+        [(1, "a b"), (1, "c d"), (2, "a b c d")], "doc_id LONG, text STRING")
+    sig = {r["_id"]: r["_sig"] for r in dd.minhash_table(dup, "doc_id").collect()}
+    assert sig[1] == sig[2]  # unioned token set == the single-row equivalent
+    sh = {r["_id"]: r["_sh"] for r in dd.simhash_table(dup, "doc_id").collect()}
+    assert sh[1] == sh[2]
+
+    nulls = spark.createDataFrame(
+        [(1, "a b"), (None, "c d")], "doc_id LONG, text STRING")
+    with pytest.raises(Exception) as ei:
+        dd.minhash_table(nulls, "doc_id").collect()
+    assert "non-null" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        dd.simhash_table(nulls, "doc_id").collect()
+    assert "non-null" in str(ei.value)
+
+
 def test_simhash_near_dup_pairs(spark):
     """Banded SimHash pair extraction: hamming<bands pairs are guaranteed
     found; distant docs are excluded."""
