@@ -211,7 +211,6 @@ def test_fingerprint_tables_id_semantics(spark):
     (documented semantics), NULL ids fail the job instead of silently
     fingerprinting as an empty doc."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     dup = spark.createDataFrame(
         [(1, "a b"), (1, "c d"), (2, "a b c d")], "doc_id LONG, text STRING")
