@@ -100,6 +100,19 @@ def minhash_table(df: DataFrame, id_col: str, text: str = "text", *,
 
     ``id_col`` is the document identity: rows sharing an id union their
     token sets into one signature; NULL ids raise at runtime."""
+    mins = _minhash_mins(df, id_col, text, num_perms=num_perms, seed=seed)
+    return mins.select(
+        "_id", F.array(*[F.col(f"_m{j}") for j in range(num_perms)]).alias("_sig"))
+
+
+def _minhash_mins(df: DataFrame, id_col: str, text: str = "text", *,
+                  num_perms: int = DEFAULT_PERMS,
+                  seed: int = MINHASH_SEED) -> DataFrame:
+    """Columnar MinHash mins DataFrame[(_id, _m0.._m{num_perms-1})] — the
+    shared core of minhash_table and lsh_band_rows. Every doc of the input
+    appears exactly once; docs with no tokens carry NULL mins (the array
+    form renders them as the all-NULL signature, the band form's NULL band
+    keys never equi-join)."""
     a, b = affine_params(seed, num_perms)
     toks = _doc_tokens(df, id_col, text)
     vocab = (
@@ -113,13 +126,8 @@ def minhash_table(df: DataFrame, id_col: str, text: str = "text", *,
     )
     mins = toks.join(vocab, "_tok").groupBy("_id").agg(
         *[F.min(f"_p{j}").alias(f"_m{j}") for j in range(num_perms)])
-    sig = mins.select(
-        "_id", F.array(*[F.col(f"_m{j}") for j in range(num_perms)]).alias("_sig"))
     base = df.select(_guarded_id(id_col))
-    empty = F.array(*[F.lit(None).cast("bigint")] * num_perms)
-    return base.join(sig, "_id", "left").select(
-        "_id", F.when(F.col("_sig").isNull(), empty)
-                .otherwise(F.col("_sig")).alias("_sig"))
+    return base.join(mins, "_id", "left")
 
 
 def minhash_long(df: DataFrame, id_col: str, text: str = "text", *,
@@ -135,22 +143,26 @@ def lsh_band_rows(df: DataFrame, id_col: str, text: str = "text", *,
                   num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
                   seed: int = MINHASH_SEED) -> DataFrame:
     """(_id, band, band_key): one row per (doc, band) with the band's
-    minhashes folded into a single bigint key."""
+    minhashes folded into a single bigint key.
+
+    The fold ((acc * 1000003 + m) % p per band minhash) is emitted as a
+    chained column expression over the columnar mins — identical values to
+    an aggregate() HOF over the signature array, but whole-stage codegen'd
+    instead of interpreted per array element. Empty docs have NULL mins,
+    so their band keys are NULL and never equi-join."""
     rows_per_band = num_perms // bands
-    banded = minhash_table(df, id_col, text, num_perms=num_perms, seed=seed)
-    return banded.select(
+    mins = _minhash_mins(df, id_col, text, num_perms=num_perms, seed=seed)
+
+    def band_key(i: int):
+        acc = F.lit(0).cast("bigint")
+        for j in range(i * rows_per_band, (i + 1) * rows_per_band):
+            acc = (acc * 1_000_003 + F.col(f"_m{j}")) % MERSENNE_PRIME
+        return acc
+
+    return mins.select(
         "_id",
-        F.posexplode(
-            F.array(*[
-                # band key: fold the band's minhashes into one bigint
-                F.aggregate(
-                    F.slice(F.col("_sig"), i * rows_per_band + 1, rows_per_band),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: (acc * 1_000_003 + x) % MERSENNE_PRIME,
-                )
-                for i in range(bands)
-            ])
-        ).alias("band", "band_key"),
+        F.posexplode(F.array(*[band_key(i) for i in range(bands)]))
+         .alias("band", "band_key"),
     )
 
 
