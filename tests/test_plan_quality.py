@@ -150,3 +150,25 @@ def test_heavy_hitter_build_never_shuffles_distinct_tokens(spark, pages_path):
     df = spark.read.parquet(pages_path)
     plan = _plan(heavy_hitters_scalable(df, "text", CFG, 0.02), execute=True)
     assert not re.search(r"HashAggregate\(keys=\[tok#", plan), plan
+
+
+def test_lsh_banding_stays_in_codegen(spark, pages_path):
+    """lsh_band_rows must compute band keys as chained column arithmetic
+    over the columnar mins, never by re-assembling the signature array and
+    folding slices with interpreted HOFs (the pre-refactor shape: an
+    aggregate() over slice(_sig, ...)). HOFs remain legitimate on the
+    distinct-vocabulary side (djb2 fold, O(vocab)), so the gate targets
+    the per-doc markers only."""
+    from parallel_count_min_sketch_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_table,
+    )
+
+    df = spark.read.parquet(pages_path).selectExpr("url AS doc_id", "text")
+    plan = _plan(lsh_band_rows(df, "doc_id"), execute=True)
+    assert "slice(" not in plan, plan
+    assert "posexplode" in plan
+    # the columnar table form must not fall back to the per-doc Column
+    # form (array_distinct over each doc's token array)
+    plan_tbl = _plan(minhash_table(df, "doc_id"), execute=True)
+    assert "array_distinct(" not in plan_tbl, plan_tbl
