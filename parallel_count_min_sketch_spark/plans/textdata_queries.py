@@ -172,7 +172,10 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id_a", "id_b")
 
 
-def _sql_lsh_pairs() -> str:
+def _duck_lsh_sizes_ctes() -> str:
+    """The band-key replay shared by the lsh_pairs and lsh_bucket_stats
+    oracles: docs -> token-id sets -> 32 MinHash mins -> 4 band keys ->
+    per-(band, band_key) bucket sizes."""
     a, b = affine_params(dd.MINHASH_SEED, dd.DEFAULT_PERMS)
     rows_per_band = dd.DEFAULT_PERMS // dd.DEFAULT_BANDS
     sig_cols = ", ".join(
@@ -190,7 +193,11 @@ WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
 with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM docs),
 sigs AS (SELECT doc_id, {sig_cols} FROM with_ids),
 bands_all AS ({' UNION ALL '.join(band_keys)}),
-sizes AS (SELECT band, band_key, COUNT(*) AS sz FROM bands_all GROUP BY 1, 2),
+sizes AS (SELECT band, band_key, COUNT(*) AS sz FROM bands_all GROUP BY 1, 2)"""
+
+
+def _sql_lsh_pairs() -> str:
+    return _duck_lsh_sizes_ctes() + f""",
 bands AS (
   SELECT b.* FROM bands_all b JOIN sizes s USING (band, band_key)
   WHERE s.sz <= {LSH_MAX_BUCKET}
@@ -199,6 +206,25 @@ SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
 WHERE l.doc_id < r.doc_id
 ORDER BY id_a, id_b
+"""
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cap-sizing companion to lsh_pairs: bucket-size distribution and
+    exactly what LSH_MAX_BUCKET drops (buckets, rows, s^2 pairs avoided) —
+    the diagnostic a 100-TB run consults before choosing the cap."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return dd.lsh_bucket_stats(docs, "doc_id", max_bucket=LSH_MAX_BUCKET)
+
+
+def _sql_lsh_bucket_stats() -> str:
+    return _duck_lsh_sizes_ctes() + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket_size,
+       CAST(SUM(CASE WHEN sz > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS buckets_dropped,
+       CAST(SUM(CASE WHEN sz > {LSH_MAX_BUCKET} THEN sz ELSE 0 END) AS BIGINT) AS rows_dropped,
+       CAST(SUM(CASE WHEN sz > {LSH_MAX_BUCKET} THEN sz * sz ELSE 0 END) AS BIGINT) AS pairs_avoided
+FROM sizes
 """
 
 
@@ -621,6 +647,7 @@ TEXTDATA_QUERIES = {
     "dedup_kept_docs": (q_dedup_kept_docs, SQL_DEDUP_KEPT_DOCS),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "lsh_pairs": (q_lsh_pairs, _sql_lsh_pairs()),
+    "lsh_bucket_stats": (q_lsh_bucket_stats, _sql_lsh_bucket_stats()),
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_near_dups": (q_simhash_near_dups, _sql_simhash_near_dups()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
