@@ -39,12 +39,13 @@ def host_of_url(url_col: str = "url") -> F.Column:
 
 
 def skew_stats(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
-    """Per-key row counts + share of total — the diagnostic used to decide
-    when salting is needed."""
+    """Per-key row counts + share of total (basis points) — the diagnostic
+    used to decide when salting is needed. Ties break on the key so the
+    top-N cut is deterministic across partitionings."""
     total = df.count()
     return (
         df.groupBy(key_col).count()
         .withColumn("share_bp", F.floor(F.col("count") * 10000.0 / total).cast("bigint"))
-        .orderBy(F.desc("count"))
+        .orderBy(F.desc("count"), F.col(key_col))
         .limit(top)
     )

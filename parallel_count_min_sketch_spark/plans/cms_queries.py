@@ -355,6 +355,39 @@ ORDER BY e.host
    .replace("{PROBE_BUCKETS}", _duck_probe_buckets())
 
 
+def q_host_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew_stats over the synthesized URL-host stream — the diagnostic
+    that decides when salted repartitioning is needed (operators/skew).
+    Deterministic top-10 (count desc, host asc tie-break); share in basis
+    points with double arithmetic replayed by the oracle."""
+    from ..operators.skew import host_of_url, skew_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pages = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    hosts = pages.select(host_of_url("url").alias("host"))
+    return skew_stats(hosts, "host", top=10).withColumnRenamed("count", "n_rows")
+
+
+SQL_HOST_SKEW_STATS = """
+WITH pages AS (
+  SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hosts AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host FROM pages
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hosts),
+counts AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_rows FROM hosts GROUP BY host)
+SELECT host, n_rows,
+       CAST(FLOOR(n_rows * CAST(10000 AS DOUBLE) / tot.n) AS BIGINT) AS share_bp
+FROM counts, tot
+ORDER BY n_rows DESC, host
+LIMIT 10
+"""
+
+
 def q_cms_accuracy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's accuracy report (test_cms_accuracy,
     src/core/count_min_sketch.c:226-241 — avg/max abs error, % exact,
@@ -419,6 +452,7 @@ CMS_QUERIES = {
     "cms_inner_product": (q_cms_inner_product, SQL_CMS_INNER_PRODUCT),
     "cms_token_point_query": (q_cms_token_point_query, SQL_CMS_TOKEN_POINT_QUERY),
     "cms_url_host_counts": (q_cms_url_host_counts, SQL_CMS_URL_HOST_COUNTS),
+    "host_skew_stats": (q_host_skew_stats, SQL_HOST_SKEW_STATS),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "exact_oracle_counts": (q_exact_oracle_counts, SQL_EXACT_ORACLE_COUNTS),
     "exact_token_counts": (q_exact_token_counts, SQL_EXACT_TOKEN_COUNTS),
