@@ -182,23 +182,25 @@ def test_merge_partials_large_fanin(spark, items_df):
     assert np.array_equal(sk.table, expected_sketch(items).table)
 
 
-def test_url_host_counts_matches_duckdb_oracle(spark, sf_dir):
-    """cms_url_host_counts contract query (north star: 'token AND URL-host
-    counts') must match its DuckDB oracle value-for-value — same gate the
-    driver applies, run here at sf0.001."""
+@pytest.mark.parametrize("name", [
+    "cms_url_host_counts", "host_skew_stats", "lsh_bucket_stats",
+])
+def test_round3_queries_match_duckdb_oracle(spark, sf_dir, name):
+    """The round-3 contract queries (URL-host CMS counts — the north
+    star's 'token AND URL-host counts' — plus the skew and LSH-cap
+    diagnostics) must match their DuckDB oracles value-for-value: the
+    same gate the driver applies, run here at sf0.001."""
     import duckdb
 
-    from parallel_count_min_sketch_spark.plans.cms_queries import (
-        SQL_CMS_URL_HOST_COUNTS,
-        q_cms_url_host_counts,
-    )
+    from parallel_count_min_sketch_spark.plans import all_oracles, all_queries
 
-    got = [tuple(r) for r in q_cms_url_host_counts(spark, sf_dir).collect()]
+    got = [tuple(r) for r in all_queries()[name](spark, sf_dir).collect()]
     duck = duckdb.connect()
     duck.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
-    want = duck.sql(SQL_CMS_URL_HOST_COUNTS).fetchall()
+    want = duck.sql(all_oracles()[name]).fetchall()
     duck.close()
     assert got == want
     assert len(got) > 0
-    # one-sided CMS guarantee holds per host
-    assert all(est >= exact for _h, exact, est in got)
+    if name == "cms_url_host_counts":
+        # one-sided CMS guarantee holds per host
+        assert all(est >= exact for _h, exact, est in got)
