@@ -43,11 +43,14 @@ BENCH_QUERIES = [
     "cms_inner_product",
     "cms_token_point_query",
     "cms_heavy_hitters",
+    "cms_url_host_counts",
+    "host_skew_stats",
     "exact_token_counts",
     "cms_accuracy_report",
     # training-data flagships (documents/embeddings tables at the same sf)
     "dedup_exact",
     "lsh_pairs",
+    "lsh_bucket_stats",
     # (simhash_near_dups is gate-checked but not timed here: the synthetic
     # docs are template-heavy, so its sf0.1 output is ~2M genuine pairs and
     # the timing measures collect volume, not operator cost)
