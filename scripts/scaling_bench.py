@@ -272,6 +272,13 @@ best MPI config 48.8M items/s on 32 procs (pre-parsed uint32 items). Our items
 are *string tokens* (tokenize + djb2 inside the engine), and the single-VM
 numbers above already exceed the reference's 32-proc cluster throughput.
 
+SQL-vs-Arrow gap attribution (measured at local[32], 4M docs): the full SQL
+build (~4.4 s warm) is FASTER than a bare explode+count over the same token
+stream (~10.9 s) — sketch hashing adds nothing measurable; the residual gap
+to the Arrow kernel is the JVM explode/row-materialization cost of the
+110M-token stream, which the Arrow path replaces with pandas split + numpy
+value counts inside each partition.
+
 ## Reference-parity workload (the reference's own benchmark)
 
 """ + _parity_section() + _spark_submit_section() + f"""
