@@ -49,6 +49,8 @@ def main() -> None:
                          "rep 1 is JVM/page-cache warmup). sql/arrow paths "
                          "only — checkpointed builds are single-run by nature")
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
     if args.checkpoint and args.reps > 1:
         ap.error("--reps applies to the sql/arrow paths only")
     if args.checkpoint and args.salt_partitions and not args.file_lineage:
@@ -85,27 +87,28 @@ def main() -> None:
         build = CheckpointedCMSBuild(cfg, args.checkpoint)
         sk = build.run(df, args.text_col, input_desc=args.input)
         metrics = build.metrics
-    elif args.path == "arrow":
-        walls = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            sk = build_cms_from_text(df, args.text_col, cfg)
-            walls.append(time.perf_counter() - t0)
-        metrics = {"wall_sec_runs": [round(w, 3) for w in walls]} if args.reps > 1 else {}
     else:
-        toks = df.select(F.explode(F.split(args.text_col, " ")).alias("tok")) \
-            .filter(F.col("tok") != "")
-        walls = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            rows = cms_table_df(toks, "tok", cfg, string_items=True).collect()
-            walls.append(time.perf_counter() - t0)
-        sk = cfg.new_sketch()
-        for r in rows:
-            sk.table[r["depth_row"], r["bucket"]] = r["counter"]
-        sk.total = int(sk.table[0].sum())
+        def timed_reps(fn):
+            walls, out = [], None
+            for _ in range(args.reps):
+                r0 = time.perf_counter()
+                out = fn()
+                walls.append(time.perf_counter() - r0)
+            return out, walls
+
+        if args.path == "arrow":
+            sk, walls = timed_reps(lambda: build_cms_from_text(df, args.text_col, cfg))
+        else:
+            toks = df.select(F.explode(F.split(args.text_col, " ")).alias("tok")) \
+                .filter(F.col("tok") != "")
+            rows, walls = timed_reps(
+                lambda: cms_table_df(toks, "tok", cfg, string_items=True).collect())
+            sk = cfg.new_sketch()
+            for r in rows:
+                sk.table[r["depth_row"], r["bucket"]] = r["counter"]
+            sk.total = int(sk.table[0].sum())
         metrics = {"wall_sec_runs": [round(w, 3) for w in walls]} if args.reps > 1 else {}
-    wall = min(walls) if args.path in ("sql", "arrow") else time.perf_counter() - t0
+    wall = min(walls) if not args.checkpoint else time.perf_counter() - t0
 
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "sketch.bin"), "wb") as f:

@@ -126,7 +126,7 @@ def _minhash_mins(df: DataFrame, id_col: str, text: str = "text", *,
     )
     mins = toks.join(vocab, "_tok").groupBy("_id").agg(
         *[F.min(f"_p{j}").alias(f"_m{j}") for j in range(num_perms)])
-    base = df.select(_guarded_id(id_col))
+    base = df.select(_guarded_id(id_col)).distinct()
     return base.join(mins, "_id", "left")
 
 
@@ -279,7 +279,7 @@ def simhash_table(df: DataFrame, id_col: str, text: str = "text", *,
                          F.lit(1 << i).cast("bigint")) \
                    .otherwise(F.lit(0).cast("bigint"))
     fp = votes.select("_id", sh.alias("_sh"))
-    base = df.select(_guarded_id(id_col))
+    base = df.select(_guarded_id(id_col)).distinct()
     return base.join(fp, "_id", "left").select(
         "_id", F.coalesce("_sh", F.lit(0).cast("bigint")).alias("_sh"))
 

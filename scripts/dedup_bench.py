@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def timed(fn, reps: int) -> tuple[float, list[float], object]:
+    fn()  # warmup: worker import + JIT + page cache (matches sketch_family_bench)
     walls, out = [], None
     for _ in range(reps):
         t0 = time.perf_counter()

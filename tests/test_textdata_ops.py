@@ -214,9 +214,13 @@ def test_fingerprint_tables_id_semantics(spark):
 
     dup = spark.createDataFrame(
         [(1, "a b"), (1, "c d"), (2, "a b c d")], "doc_id LONG, text STRING")
-    sig = {r["_id"]: r["_sig"] for r in dd.minhash_table(dup, "doc_id").collect()}
+    sig_rows = dd.minhash_table(dup, "doc_id").collect()
+    assert len(sig_rows) == 2  # one row per DOC identity, not per input row
+    sig = {r["_id"]: r["_sig"] for r in sig_rows}
     assert sig[1] == sig[2]  # unioned token set == the single-row equivalent
-    sh = {r["_id"]: r["_sh"] for r in dd.simhash_table(dup, "doc_id").collect()}
+    sh_rows = dd.simhash_table(dup, "doc_id").collect()
+    assert len(sh_rows) == 2
+    sh = {r["_id"]: r["_sh"] for r in sh_rows}
     assert sh[1] == sh[2]
 
     nulls = spark.createDataFrame(
