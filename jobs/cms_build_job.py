@@ -47,7 +47,10 @@ def main() -> None:
                     help="repeat the build and report best warm wall (the "
                          "reference's own benchmark averages repeated runs; "
                          "rep 1 is JVM/page-cache warmup). sql/arrow paths "
-                         "only — checkpointed builds are single-run by nature")
+                         "only — checkpointed builds are single-run by nature. "
+                         "wall_sec covers the distributed build + collect; the "
+                         "sql path's driver-side sketch-array reconstruction "
+                         "is reported separately as reconstruct_sec")
     args = ap.parse_args()
     if args.reps < 1:
         ap.error("--reps must be >= 1")
@@ -103,11 +106,17 @@ def main() -> None:
                 .filter(F.col("tok") != "")
             rows, walls = timed_reps(
                 lambda: cms_table_df(toks, "tok", cfg, string_items=True).collect())
+            r0 = time.perf_counter()
             sk = cfg.new_sketch()
             for r in rows:
                 sk.table[r["depth_row"], r["bucket"]] = r["counter"]
             sk.total = int(sk.table[0].sum())
+            reconstruct_sec = time.perf_counter() - r0
         metrics = {"wall_sec_runs": [round(w, 3) for w in walls]} if args.reps > 1 else {}
+        if args.path == "sql":
+            # scope note: wall_sec = distributed build + collect only; the
+            # O(depth*width) driver-side array fill is this separate metric
+            metrics["reconstruct_sec"] = round(reconstruct_sec, 3)
     wall = min(walls) if not args.checkpoint else time.perf_counter() - t0
 
     os.makedirs(args.output, exist_ok=True)

@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched kernels.
 
-The decode/resize/frame-sample steps are STUBBED (the codec libraries are
-not in this container): ``decode_image_stub`` raises NotImplementedError
-unless ``fake=True``, in which case it produces a deterministic fake
-"decoded" tensor summary derived from the bytes — so the Spark-side
-plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
-and tested end-to-end while the codec call is a drop-in replacement point.
+The image path is REAL: a dependency-free numpy BMP codec (24-bit
+uncompressed, bottom-up or top-down) plus nearest-neighbor resize —
+``decode_image`` dispatches on magic bytes and decodes BMP natively.
+Formats whose codecs are genuinely absent from this container (PNG/JPEG/
+GIF/RIFF) raise ``NotImplementedError`` with the library a deployment
+would drop in; opaque non-image blobs route through ``byte_tensor``, a
+deterministic digest-derived featurizer (a real featurizer for arbitrary
+bytes — NOT a decode stand-in).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -25,9 +28,13 @@ MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"RIFF": "riff",
     b"GIF8": "gif",
+    b"BM": "bmp",
 }
 
 META_SCHEMA = "byte_len BIGINT, sniffed_format STRING, sha1 STRING"
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")   # magic, file size, res, res, px offset
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")  # BITMAPINFOHEADER
 
 
 def binary_metadata(df: DataFrame, bin_col: str, *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -49,43 +56,97 @@ def binary_metadata(df: DataFrame, bin_col: str, *, keep_cols: tuple[str, ...] =
     ).drop("_head")
 
 
-def decode_image_stub(data: bytes, *, fake: bool = False) -> np.ndarray:
-    """Decode step placeholder. Real deployment: PIL/libvips/ffmpeg here.
+def bmp_row_size(width: int) -> int:
+    """Bytes per stored BMP row: 3 bytes/pixel padded up to 4-byte
+    alignment (the BMP spec's stride rule)."""
+    return (width * 3 + 3) // 4 * 4
 
-    fake=True returns a deterministic 4x4x3 uint8 'thumbnail' derived from
-    a digest of the bytes — stable across runs/executors, shaped like a
-    real decode output so downstream feature code is exercised."""
-    if not fake:
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """H x W x 3 uint8 RGB -> 24-bit uncompressed BMP bytes (BI_RGB,
+    bottom-up row order, BGR channel order, 4-byte-aligned rows)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8 array, got shape {img.shape}")
+    h, w, _ = img.shape
+    row_size = bmp_row_size(w)
+    data_size = row_size * h
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = img[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    header = _BMP_FILE_HEADER.pack(b"BM", 54 + data_size, 0, 0, 54)
+    info = _BMP_INFO_HEADER.pack(40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> H x W x 3 uint8 RGB. Handles
+    bottom-up (positive height) and top-down (negative height) images and
+    strips the 4-byte row padding."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    _, _file_size, _, _, offset = _BMP_FILE_HEADER.unpack_from(data, 0)
+    hdr = _BMP_INFO_HEADER.unpack_from(data, 14)
+    _hdr_size, w, h, _planes, bpp, compression = hdr[:6]
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image/audio codecs are not available in this environment; "
-            "pass fake=True for the deterministic test double"
-        )
-    digest = hashlib.sha256(data).digest()
-    arr = np.frombuffer((digest * 2)[:48], dtype=np.uint8)
-    return arr.reshape(4, 4, 3)
+            f"only 24-bit uncompressed BMP is supported (got bpp={bpp}, "
+            f"compression={compression})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
+    top_down = h < 0
+    h = abs(h)
+    row_size = bmp_row_size(w)
+    if offset + row_size * h > len(data):
+        raise ValueError("truncated BMP pixel array")
+    px = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset) \
+        .reshape(h, row_size)
+    img = px[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
 
 
-def resize_stub(img: np.ndarray, h: int, w: int, *, fake: bool = False) -> np.ndarray:
-    """Resize placeholder (real deployment: PIL/cv2 interpolation). The fake
-    path is a deterministic nearest-neighbor index map — correct output
-    shape/dtype, stable across executors."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize libs are not available in this environment; "
-            "pass fake=True for the deterministic test double"
-        )
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor index map src = dst * src_dim //
+    dst_dim) — deterministic, pure numpy."""
     ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
     xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
     return img[ys][:, xs]
 
 
-def sample_frames(df: DataFrame, bin_col: str, id_col: str, *, n_frames: int = 4,
-                  fake_decode: bool = True) -> DataFrame:
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode an image blob by magic-byte dispatch. BMP decodes natively
+    (pure numpy); formats needing codec libraries absent from this
+    container raise with the drop-in library named."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    for magic, name in MAGIC.items():
+        if data[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"{name} decoding needs a codec library (PIL/libvips) not "
+                "present in this container; BMP is the built-in path")
+    raise ValueError("unrecognized image format (no known magic bytes)")
+
+
+def byte_tensor(data: bytes) -> np.ndarray:
+    """Deterministic 4x4x3 uint8 tensor from a digest of the bytes — a
+    content-fingerprint featurizer for OPAQUE (non-image) blobs, stable
+    across runs/executors. Shaped like a small decoded image so downstream
+    feature code treats image and non-image blobs uniformly."""
+    digest = hashlib.sha256(data).digest()
+    arr = np.frombuffer((digest * 2)[:48], dtype=np.uint8)
+    return arr.reshape(4, 4, 3)
+
+
+def sample_frames(df: DataFrame, bin_col: str, id_col: str, *,
+                  n_frames: int = 4) -> DataFrame:
     """Video frame-sampling plumbing: (id, frame_idx, frame_feat). One input
     row fans out to ``n_frames`` output rows — the real production shape
-    (row-expanding Arrow kernel, list<float> features per frame). The
-     'video decode' is the stub applied to deterministic byte slices; a real
-    deployment swaps in ffmpeg keyframe extraction."""
+    (row-expanding Arrow kernel, list<float> features per frame). Frames
+    are deterministic byte ranges featurized via ``byte_tensor`` +
+    ``resize_nearest``; a real deployment swaps the byte slicing for
+    ffmpeg keyframe extraction at exactly this call site."""
     out_schema = "id BIGINT, frame_idx INT, frame_feat ARRAY<FLOAT>"
     proj = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("data"))
 
@@ -104,8 +165,8 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, *, n_frames: int = 4
                     # bytes are still covered by a frame
                     end = len(blob) if f == n_frames - 1 else (f + 1) * step
                     chunk = blob[f * step:end] or b"\x00"
-                    img = decode_image_stub(chunk, fake=fake_decode)
-                    thumb = resize_stub(img, 2, 2, fake=fake_decode)
+                    img = byte_tensor(chunk)
+                    thumb = resize_nearest(img, 2, 2)
                     out_id.append(i)
                     out_idx.append(f)
                     out_feat.append(thumb.mean(axis=(0, 1)).astype(np.float32).tolist())
@@ -120,11 +181,11 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, *, n_frames: int = 4
     return proj.mapInArrow(kernel, out_schema)
 
 
-def extract_features(df: DataFrame, bin_col: str, id_col: str, *,
-                     fake_decode: bool = True) -> DataFrame:
+def extract_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """Arrow-batched decode + feature extraction: (id, mean_intensity_bp,
-    feat array<float>). The decode is the stub; the batching, schema and
-    partition behavior are the real production shape."""
+    feat array<float>). BMP blobs decode through the real codec; opaque
+    blobs featurize via ``byte_tensor`` — per-blob magic dispatch, so
+    mixed-modality columns work row by row."""
     out_schema = "id BIGINT, mean_intensity_bp BIGINT, feat ARRAY<FLOAT>"
     proj = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("data"))
 
@@ -135,7 +196,8 @@ def extract_features(df: DataFrame, bin_col: str, id_col: str, *,
             blobs = batch.column(1).to_pylist()
             means, feats = [], []
             for blob in blobs:
-                img = decode_image_stub(blob or b"", fake=fake_decode)
+                blob = blob or b""
+                img = decode_bmp(blob) if blob[:2] == b"BM" else byte_tensor(blob)
                 means.append(int(img.mean() * 100))
                 feats.append(img.mean(axis=(0, 1)).astype(np.float32).tolist())
             yield pa.RecordBatch.from_pydict(

@@ -184,14 +184,18 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
     band_rows = lsh_band_rows(df, id_col, text, num_perms=num_perms,
                               bands=bands, seed=seed)
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_key")
-        band_rows = (
-            band_rows.withColumn("_bucket_size", F.count("*").over(w))
-            .filter(F.col("_bucket_size") <= max_bucket)
-            .drop("_bucket_size")
+        # oversized buckets via groupBy + anti-join, NOT a count window: the
+        # window adds a sort-based exchange over the full band_rows stream,
+        # while groupBy(band, band_key).count() is partial/final (map-side
+        # combinable) and the oversized-key set is tiny — AQE broadcasts it
+        # into the anti-join, so the cap costs no extra wide shuffle.
+        oversized = (
+            band_rows.groupBy("band", "band_key")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_bucket)
+            .select("band", "band_key")
         )
+        band_rows = band_rows.join(oversized, ["band", "band_key"], "left_anti")
     left = band_rows.select(F.col("band"), F.col("band_key"), F.col("_id").alias("id_a"))
     right = band_rows.select(F.col("band"), F.col("band_key"), F.col("_id").alias("id_b"))
     pairs = (

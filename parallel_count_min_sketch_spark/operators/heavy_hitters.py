@@ -3,12 +3,17 @@
 The exact-distinct candidate pass used by the small-scale query
 (plans/cms_queries.q_cms_heavy_hitters) shuffles every distinct token —
 fine at test scale, wrong at 100 TB. This operator keeps the shuffle at
-O(partitions x k):
+O(partitions x k) and reads the corpus exactly TWICE:
 
-  stage 1: each partition counts its own tokens exactly (np.unique on the
-           local batch stream) and emits its top-k as candidates;
-  stage 2: union + distinct of candidates (tiny), CMS point query via the
-           broadcast sketch-table join, filter est >= phi*N.
+  scan 1 (fused): each partition tokenizes its batches ONCE, folding the
+           (token, count) tables into BOTH a partial CMS sketch and the
+           partition's exact top-k candidate set — one mapInArrow emits a
+           partial-sketch row plus k candidate rows per partition;
+  stage 2: partial sketches -> (depth_row, bucket) partial/final sum (the
+           merged sketch table, bounded by depth*width rows/partition);
+           candidate union + distinct (tiny), CMS point query via the
+           broadcast sketch-table join, filter est >= phi*N;
+  scan 2: exact recount of the tiny surviving set (broadcast semi-join).
 
 Guarantee: with k >= 1/phi, any item with global share >= phi has share
 >= phi in at least one partition (pigeonhole on the weighted average),
@@ -21,14 +26,32 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import CMSConfig
 from ..memtune import tune_allocator
-from .sql_build import cms_table_df, point_query_join
+from ..sketches.cms import CountMinSketch
+from ..sketches.hashing import djb2_batch
+from .sql_build import point_query_join
 
 CAND_SCHEMA = "token STRING, local_count LONG"
+
+# fused scan output: kind=0 rows carry one partial sketch blob per
+# partition (token NULL); kind=1 rows carry the partition's top-k
+# candidates (sketch NULL)
+FUSED_SCHEMA = "kind INT, token STRING, local_count LONG, sketch BINARY"
+_FUSED_PA = pa.schema([
+    ("kind", pa.int32()), ("token", pa.string()),
+    ("local_count", pa.int64()), ("sketch", pa.binary()),
+])
+
+_SK_CHUNK = 1 << 17
+
+# collapse the buffered per-batch value_counts tables once this many rows
+# are held — bounds candidate_tokens' peak memory at O(partition-distinct)
+_COLLAPSE_ROWS = 1 << 20
 
 
 def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " "):
@@ -44,7 +67,18 @@ def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " ")
         # end. No per-distinct-token Python objects — at 100x scale a
         # partition's distinct set is millions of entries and a Python
         # dict fold would dominate the partition's wall time.
+        #
+        # Buffered rows are collapsed (group_by/sum) whenever they cross
+        # _COLLAPSE_ROWS: without that, a token repeated across batches is
+        # held once PER BATCH until end-of-partition, so peak memory would
+        # be O(sum of per-batch distinct) instead of O(partition-distinct).
         parts: list[pa.Table] = []
+        buffered = 0
+
+        def collapse(tables: list[pa.Table]) -> pa.Table:
+            t = pa.concat_tables(tables).group_by("token").aggregate([("cnt", "sum")])
+            return t.rename_columns(["token", "cnt"])
+
         for batch in batches:
             col = batch.column(0)
             if col.null_count:
@@ -55,6 +89,10 @@ def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " ")
             vc = pc.value_counts(toks)
             parts.append(pa.table({"token": vc.field("values"),
                                    "cnt": vc.field("counts")}))
+            buffered += len(vc)
+            if buffered >= _COLLAPSE_ROWS and len(parts) > 1:
+                parts = [collapse(parts)]
+                buffered = parts[0].num_rows
         if parts:
             merged = pa.concat_tables(parts) \
                 .group_by("token").aggregate([("cnt", "sum")])
@@ -71,48 +109,139 @@ def candidate_tokens(df, text_col: str, k_per_partition: int, *, sep: str = " ")
     return proj.mapInArrow(fold, CAND_SCHEMA)
 
 
+def fused_sketch_and_candidates(df, text_col: str, cfg: CMSConfig,
+                                k_per_partition: int, *, sep: str = " "):
+    """ONE pass over the corpus emitting, per partition, both the partial
+    CMS sketch and the partition's exact top-k candidates. The per-batch
+    (token, count) tables are computed once and feed both folds — this
+    also removes the duplicate tokenize/value_counts work the separate
+    build + candidate scans used to do."""
+    import pyarrow.compute as pc
+
+    proj = df.select(text_col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        sk = cfg.new_sketch()
+        parts: list[pa.Table] = []
+        buffered = 0
+
+        def collapse(tables: list[pa.Table]) -> pa.Table:
+            t = pa.concat_tables(tables).group_by("token").aggregate([("cnt", "sum")])
+            return t.rename_columns(["token", "cnt"])
+
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            toks = pc.list_flatten(pc.split_pattern(col, sep))
+            if len(toks):
+                toks = pc.filter(toks, pc.not_equal(toks, ""))
+            if len(toks) == 0:
+                continue
+            vc = pc.value_counts(toks)
+            vals = vc.field("values")
+            counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            # sketch fold: djb2 + weighted update once per DISTINCT token
+            for lo in range(0, len(vals), _SK_CHUNK):
+                sk.update_batch(djb2_batch(vals.slice(lo, _SK_CHUNK)),
+                                counts[lo:lo + _SK_CHUNK])
+            # candidate fold: same bounded-buffer shape as candidate_tokens
+            parts.append(pa.table({"token": vals, "cnt": vc.field("counts")}))
+            buffered += len(vals)
+            if buffered >= _COLLAPSE_ROWS and len(parts) > 1:
+                parts = [collapse(parts)]
+                buffered = parts[0].num_rows
+        if parts:
+            merged = pa.concat_tables(parts) \
+                .group_by("token").aggregate([("cnt", "sum")])
+            top = merged.sort_by([("cnt_sum", "descending"),
+                                  ("token", "descending")])[:k_per_partition]
+            n_c = top.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([1] * n_c, pa.int32()),
+                 top.column("token").combine_chunks().cast(pa.string()),
+                 top.column("cnt_sum").combine_chunks().cast(pa.int64()),
+                 pa.array([None] * n_c, pa.binary())],
+                schema=_FUSED_PA,
+            )
+        yield pa.RecordBatch.from_pydict(
+            {"kind": [0], "token": [None], "local_count": [int(sk.total)],
+             "sketch": [sk.to_bytes()]},
+            schema=_FUSED_PA,
+        )
+
+    return proj.mapInArrow(fold, FUSED_SCHEMA)
+
+
+def partials_to_table(partials_df, cfg: CMSConfig):
+    """Serialized partial sketches -> the merged sketch as
+    DataFrame[depth_row, bucket, counter] (zero counters omitted). The
+    element-wise merge is a partial/final SUM on (depth_row, bucket) —
+    bounded by depth*width rows per partition regardless of input size."""
+    def explode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        eps, delta = cfg.epsilon, cfg.delta
+        for batch in batches:
+            for blob in batch.column(0).to_pylist():
+                sk = CountMinSketch.from_bytes(blob, eps, delta)
+                rows, cols = np.nonzero(sk.table)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(rows.astype(np.int32)),
+                     pa.array(cols.astype(np.int64)),
+                     pa.array(sk.table[rows, cols].astype(np.int64))],
+                    schema=pa.schema([("depth_row", pa.int32()),
+                                      ("bucket", pa.int64()),
+                                      ("counter", pa.int64())]),
+                )
+
+    cells = partials_df.select("sketch").mapInArrow(
+        explode, "depth_row INT, bucket BIGINT, counter BIGINT")
+    return cells.groupBy("depth_row", "bucket").agg(
+        F.sum("counter").alias("counter"))
+
+
 def heavy_hitters_scalable(df, text_col: str, cfg: CMSConfig, phi: float, *,
                            k_per_partition: int | None = None) -> DataFrame:
     """EXACT heavy hitters (token, exact_count, cms_estimate) at threshold
     floor(phi*N), computed without ever shuffling the distinct-token
-    universe:
+    universe and with only TWO corpus scans:
 
-      1. sketch build (JVM path, one scan; shuffle bounded by depth*width);
-      2. per-partition top-k candidates (pigeonhole: with k >= 1/phi the
-         candidate union contains every true heavy hitter);
-      3. CMS prune: candidates with estimate < floor(phi*N) are dropped —
-         one-sidedness (est >= true) means no true HH is lost;
-      4. exact recount of the tiny surviving set (broadcast semi-join
+      1. fused scan: partial sketch + per-partition top-k candidates in one
+         mapInArrow (pigeonhole: with k >= 1/phi the candidate union
+         contains every true heavy hitter); output persisted — it is
+         O(partitions * k) rows, tiny at any corpus size;
+      2. sketch table from the partials (partial/final sum, bounded by
+         depth*width rows/partition), then CMS prune: candidates with
+         estimate < floor(phi*N) are dropped — one-sidedness (est >= true)
+         means no true HH is lost;
+      3. exact recount of the tiny surviving set (broadcast semi-join
          against the token stream), final filter exact_count >= threshold.
 
     Output therefore equals the exact heavy-hitter set regardless of
     partitioning — value-checkable against a plain SQL GROUP BY oracle —
     while every shuffle stays O(partitions*k + depth*width), never
-    O(distinct tokens).
-    """
+    O(distinct tokens)."""
     if k_per_partition is None:
         k_per_partition = max(16, int(2.0 / phi))
-    toks = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
-        .filter(F.col("tok") != "")
-    # pre_aggregate=False: the distinct-first plan would shuffle one row per
-    # DISTINCT token — on the high-distinct corpora this operator targets
-    # that breaks the bounded-shuffle guarantee above. The per-occurrence
-    # bucket aggregate keeps every shuffle <= depth*width rows/partition.
-    table = cms_table_df(toks, "tok", cfg, string_items=True,
-                         pre_aggregate=False)
+    fused = fused_sketch_and_candidates(df, text_col, cfg, k_per_partition)
+    fused = fused.persist()
+    table = partials_to_table(fused.filter(F.col("kind") == 0), cfg)
     table.cache()
     n = (
         table.filter(F.col("depth_row") == 0)
         .agg(F.sum("counter").alias("n")).collect()[0]["n"]
     )
     thresh = int(phi * n)
-    cands = candidate_tokens(df, text_col, k_per_partition) \
-        .select("token").distinct()
+    cands = fused.filter(F.col("kind") == 1).select("token").distinct()
     ests = point_query_join(table, cands, "token", cfg, probes_are_strings=True)
     survivors = (
         ests.filter(F.col("cms_estimate") >= thresh)
         .select(F.col("item").alias("token"), "cms_estimate")
     )
+    toks = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
     exact = (
         toks.join(F.broadcast(survivors), toks["tok"] == survivors["token"])
         .groupBy("token", "cms_estimate")

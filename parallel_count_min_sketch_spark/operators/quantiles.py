@@ -96,6 +96,38 @@ def exact_discrete_quantiles_grouped(
     return out
 
 
+def exact_discrete_quantiles_grouped_df(
+    df: DataFrame, group_col: str, col: str, qs: Sequence[float],
+) -> DataFrame:
+    """Fully-lazy DataFrame form of ``exact_discrete_quantiles_grouped``:
+    DataFrame[g, q_idx, q, q_pct, n, exact_disc_value] with NOTHING
+    collected to the driver — per-group n and inverse-CDF ranks are
+    computed as (tiny, broadcast) DataFrames so the shape survives 10k+
+    groups. Rank expression: max(1, ceil(q*n)) in IEEE double math,
+    identical to ``rank_of_quantile`` / the DuckDB oracle."""
+    vals = df.select(F.col(group_col).alias("g"), F.col(col).alias("x")) \
+        .filter(F.col("x").isNotNull() & F.col("g").isNotNull())
+    cnts = vals.groupBy("g", "x").agg(F.count("*").alias("c"))
+    ns = cnts.groupBy("g").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("g").orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        cnts.withColumn("cum", F.sum("c").over(w))
+        .withColumn("lo", F.col("cum") - F.col("c"))
+    )
+    qmap = df.sparkSession.createDataFrame(
+        [(i, float(q), int(round(q * 100))) for i, q in enumerate(qs)],
+        "q_idx INT, q DOUBLE, q_pct BIGINT",
+    )
+    ranks = ns.crossJoin(F.broadcast(qmap)).withColumn(
+        "r", F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("n"))))
+    return (
+        cum.join(F.broadcast(ranks), ["g"])
+        .filter((F.col("r") > F.col("lo")) & (F.col("r") <= F.col("cum")))
+        .select("g", "q_idx", "q", "q_pct", "n",
+                F.col("x").cast("double").alias("exact_disc_value"))
+    )
+
+
 def exact_ranks_of_values(df: DataFrame, col: str,
                           values: Sequence[float]) -> tuple[int, list[float]]:
     """(n, [normalized rank of each value]) in ONE aggregation pass:

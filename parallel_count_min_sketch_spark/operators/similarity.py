@@ -234,35 +234,111 @@ def lsh_ann_topk_multiprobe(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+KMEANS_SCALE_BITS = 20
+KMEANS_SCALE = 1 << KMEANS_SCALE_BITS
+KMEANS_SEED = 9191
+
+
+def quantized_vec(vec_col: str):
+    """array<bigint> fixed-point quantization floor(x * 2^20 + 0.5) — the
+    k-means working representation. Integer sums are exact and summation-
+    order independent, which is what lets a SQL oracle replay Lloyd
+    iterations bit-for-bit (float means would diverge at the ulp level
+    with partition order)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(KMEANS_SCALE))
+                          + F.lit(0.5)).cast("bigint"))
+
+
+def kmeans_int_centroids(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                         k: int, iters: int, seed: int = KMEANS_SEED) -> list[list[int]]:
+    """Seeded, deterministic, engine-replayable Lloyd k-means over an
+    embedding column — the centroid producer for IVF.
+
+    - init: the k vectors whose seeded affine hash of ``id_col`` is
+      smallest (id tie-break) — a deterministic pseudo-random sample;
+    - assignment: exact int64 squared-L2 distance to each centroid as a
+      JVM zip_with/aggregate fold; argmin = first minimum (lowest cluster
+      index tie-break);
+    - update: per-cluster elementwise integer sums (one partial/final
+      groupBy per iteration — exact, order-independent) with floor-div
+      means; empty clusters keep their previous centroid.
+
+    Driver state is O(k * dim) integers per iteration — never data rows.
+    Returns quantized centroids (divide by ``KMEANS_SCALE`` for floats,
+    which is exact in binary64)."""
+    a, b = affine_params(seed, 1)
+    aj, bj = int(a[0]), int(b[0])
+    q = df.select(F.col(id_col).alias("_kid"),
+                  quantized_vec(vec_col).alias("_q")).cache()
+    ordc = (F.lit(aj) * (F.col("_kid") % MERSENNE_PRIME) + F.lit(bj)) % MERSENNE_PRIME
+    init_rows = q.select("_kid", "_q", ordc.alias("_ord")) \
+        .orderBy("_ord", "_kid").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+    cents = [[int(v) for v in r["_q"]] for r in init_rows]
+    for _ in range(iters):
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(int(c[i])).cast("bigint") for i in range(dim)]),
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+            for c in cents
+        ])
+        assigned = q.select(
+            "_q",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("_c"))
+        stats = assigned.groupBy("_c").agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.col("_q")[i]).alias(f"_s{i}") for i in range(dim)]).collect()
+        by_c = {int(r["_c"]): r for r in stats}
+        cents = [
+            [int(by_c[ci][f"_s{i}"]) // int(by_c[ci]["_n"]) for i in range(dim)]
+            if ci in by_c else old
+            for ci, old in enumerate(cents)
+        ]
+    q.unpersist()
+    return cents
+
+
 def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
                  dim: int, k: int = 5, n_centroids: int = 8, nprobe: int = 2,
-                 centroid_ids: list[int] | None = None) -> DataFrame:
+                 centroid_ids: list[int] | None = None,
+                 centroid_vecs: list[list[float]] | None = None) -> DataFrame:
     """IVF-flat ANN: every vector is assigned to its nearest centroid
     (inverted lists = a cluster column), and a query rescans only its
     ``nprobe`` nearest centroids' lists. Complements the LSH variant with
     the recall knob production IVF indexes use.
 
-    Centroids are the vectors at ``centroid_ids`` (default: the first
-    ``n_centroids`` ids — deterministic and replayable by the SQL oracle; a
-    real deployment would plug k-means centroids into the same shape).
-    Assignment is a pure-JVM expression: per-centroid dot products against
-    normalized literal arrays, argmax = first maximum (array_position).
-    Scale shape: centroid table is tiny and baked into the plan; the corpus
-    is scanned once for assignment; queries broadcast; the candidate join
-    is an equi-join on the cluster id — no cartesian anywhere."""
+    Centroids: ``centroid_vecs`` (e.g. ``kmeans_int_centroids`` output
+    divided by KMEANS_SCALE — the production path) or, failing that, the
+    vectors at ``centroid_ids`` (default first ``n_centroids`` ids — the
+    degenerate deterministic fallback). Either way the SQL oracle replays
+    them exactly. Assignment is a pure-JVM expression: per-centroid dot
+    products against normalized literal arrays, argmax = first maximum
+    (array_position). Scale shape: centroid table is tiny and baked into
+    the plan; the corpus is scanned once for assignment; queries
+    broadcast; the candidate join is an equi-join on the cluster id — no
+    cartesian anywhere."""
     import math
 
-    if centroid_ids is None:
-        centroid_ids = list(range(n_centroids))
-    rows = df.filter(F.col(id_col).isin(centroid_ids)) \
-        .select(id_col, vec_col).collect()
-    by_id = {int(r[0]): list(r[1]) for r in rows}
-    missing = [cid for cid in centroid_ids if cid not in by_id]
-    if missing:
-        raise ValueError(f"centroid ids not present in {id_col}: {missing}")
+    if centroid_vecs is not None:
+        raw_cents = [[float(x) for x in v] for v in centroid_vecs]
+    else:
+        if centroid_ids is None:
+            centroid_ids = list(range(n_centroids))
+        rows = df.filter(F.col(id_col).isin(centroid_ids)) \
+            .select(id_col, vec_col).collect()
+        by_id = {int(r[0]): list(r[1]) for r in rows}
+        missing = [cid for cid in centroid_ids if cid not in by_id]
+        if missing:
+            raise ValueError(f"centroid ids not present in {id_col}: {missing}")
+        raw_cents = [[float(x) for x in by_id[cid]] for cid in centroid_ids]
     cents: list[list[float]] = []
-    for cid in centroid_ids:
-        v = [float(x) for x in by_id[cid]]
+    for cid, v in enumerate(raw_cents):
         if len(v) != dim:
             raise ValueError(f"centroid {cid} has dim {len(v)}, expected {dim}")
         nrm = 0.0
@@ -342,11 +418,17 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str, dim: int, *,
         .alias("tbl", "bucket"),
     )
     if max_bucket is not None:
-        w = Window.partitionBy("tbl", "bucket")
-        long = (
-            long.withColumn("_sz", F.count("*").over(w))
-            .filter(F.col("_sz") <= max_bucket).drop("_sz")
+        # groupBy + anti-join instead of a count window: partial/final agg
+        # (no sort exchange over the vector stream); the oversized-bucket
+        # key set is tiny and AQE broadcasts it (same fix as
+        # dedup.lsh_candidate_pairs)
+        oversized = (
+            long.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("_sz"))
+            .filter(F.col("_sz") > max_bucket)
+            .select("tbl", "bucket")
         )
+        long = long.join(oversized, ["tbl", "bucket"], "left_anti")
     left = long.select("tbl", "bucket", F.col("_id").alias("id_a"),
                        F.col("_vec").alias("vec_a"))
     right = long.select("tbl", "bucket", F.col("_id").alias("id_b"),

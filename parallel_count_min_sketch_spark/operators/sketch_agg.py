@@ -78,7 +78,13 @@ def _update_repeat_bounded(sk, values: np.ndarray, weights: np.ndarray,
     so np.repeat(values, weights) in one shot would allocate
     O(sum(weights)) elements. Expand in <=max_chunk slices instead —
     light rows grouped by running weight, heavy rows (weight >= max_chunk,
-    rare by definition) streamed as repeats of a single reused buffer."""
+    rare by definition) streamed as repeats of a single reused buffer.
+
+    Kernel contract: 'repeat'-mode update_batch must CONSUME its input (no
+    retained references) — the heavy path feeds views of one reused
+    mutable buffer, and every light chunk's array is freed right after the
+    call. All in-tree kernels copy/fold their input (KLL buffers copies).
+    """
     if int(weights.sum()) <= max_chunk:
         sk.update_batch(np.repeat(values, weights))
         return
@@ -95,11 +101,16 @@ def _update_repeat_bounded(sk, values: np.ndarray, weights: np.ndarray,
         values, weights = values[~heavy], weights[~heavy]
     if len(values) == 0:
         return
-    # group light rows into runs whose expanded size stays <= 2*max_chunk
+    # group light rows into runs whose expanded size stays <= 2*max_chunk.
+    # bins is NON-DECREASING (cumsum of non-negative weights), so each bin
+    # is one contiguous run: slice by run bounds — O(n_rows) total — rather
+    # than a boolean mask per bin, which is O(n_rows * n_bins) and blows up
+    # when many rows carry weights just under max_chunk (one bin per row).
     bins = (np.cumsum(weights) - weights) // max_chunk
-    for b in np.unique(bins):
-        m = bins == b
-        sk.update_batch(np.repeat(values[m], weights[m]))
+    _uniq, starts = np.unique(bins, return_index=True)
+    bounds = np.append(starts, len(values))
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        sk.update_batch(np.repeat(values[lo:hi], weights[lo:hi]))
 
 
 def sketch_partials(df, col: str, make_sketch: Callable, *,
@@ -264,3 +275,33 @@ def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
         )
 
     return partials.groupBy("group").applyInPandas(merge_group, GROUPED_SCHEMA)
+
+
+def finalize_grouped(grouped_df, finalize_fn, out_schema: str,
+                     out_pa_schema: pa.Schema):
+    """Executor-side finalization of a grouped-sketch DataFrame: decode and
+    probe each group's serialized sketch INSIDE ``mapInArrow`` and emit the
+    result columns — zero sketch bytes ever reach the driver. At 10k+
+    groups (per-host / per-domain sketches) the driver-side
+    ``collect()`` + decode loop this replaces would pull gigabytes of blobs
+    and serialize all estimate math on one process.
+
+    ``finalize_fn(row: dict) -> list[tuple]`` is called once per group row
+    (binary columns arrive as ``bytes``) and returns zero or more output
+    tuples matching ``out_schema`` — probes may be row-expanding (e.g. one
+    row per quantile)."""
+    names = [f.name for f in out_pa_schema]
+
+    def fin(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        for batch in batches:
+            rows: list[tuple] = []
+            for row in batch.to_pylist():
+                rows.extend(finalize_fn(row))
+            if rows:
+                yield pa.RecordBatch.from_pydict(
+                    {n: [r[i] for r in rows] for i, n in enumerate(names)},
+                    schema=out_pa_schema,
+                )
+
+    return grouped_df.mapInArrow(fin, out_schema)

@@ -442,8 +442,85 @@ FROM pts JOIN exact e USING (item), n, epsn
 """
 
 
+def q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming parity as a driver-gated contract: the document
+    corpus is staged as multiple parquet files, streamed through the
+    foreachBatch CMS accumulator (``StreamingCMS``, availableNow trigger,
+    maxFilesPerTrigger=1 so several micro-batches really occur), and the
+    final stream-accumulated sketch is compared BYTE-FOR-BYTE against the
+    one-shot batch build over the same rows. Output columns are all
+    oracle-replayable: total token mass and the djb2('key') point estimate
+    are exact SQL arithmetic; the equality booleans are TRUE by the merge-
+    associativity contract (reference src/mpi/mpiV2.c:163-175 — the same
+    element-wise merge, applied per micro-batch instead of per rank)."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.agg import build_cms_from_text
+    from ..sketches.hashing import djb2_py
+    from ..streaming.stream_cms import StreamingCMS
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    tmp = tempfile.mkdtemp(prefix="pcms_stream_parity_")
+    try:
+        src = os.path.join(tmp, "incoming")
+        docs.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        acc = StreamingCMS(CFG, "text", state_path=os.path.join(tmp, "state.bin"))
+        q = acc.start(stream, os.path.join(tmp, "ckpt"), trigger_once=True)
+        q.awaitTermination(300)
+        batch_sk = build_cms_from_text(docs, "text", CFG)
+        est_key = int(acc.sketch.point_query(
+            np.array([djb2_py("key")], dtype=np.int64))[0])
+        row = (
+            int(acc.sketch.total),
+            est_key,
+            bool(acc.sketch.to_bytes() == batch_sk.to_bytes()),
+            bool(acc.batches_seen >= 2),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "total_tokens BIGINT, est_key BIGINT, stream_equals_batch BOOLEAN, "
+        "multi_batch BOOLEAN",
+    )
+
+
+def _sql_stream_batch_parity() -> str:
+    from ..sketches.hashing import djb2_py
+
+    key_id = int(djb2_py("key"))
+    return f"""
+WITH toks AS ({_DUCK_TOKENS}),
+ids AS (SELECT {djb2_sql_duckdb('tok')} AS item_id FROM toks),
+probes AS (SELECT 'key' AS item, CAST({key_id} AS BIGINT) AS item_id),
+buckets AS ({_duck_buckets_cte('item_id')}),
+probe_buckets AS ({_duck_probe_buckets()}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS total_tokens,
+       CAST(pts.est AS BIGINT) AS est_key,
+       TRUE AS stream_equals_batch,
+       TRUE AS multi_batch
+FROM pts
+"""
+
+
 CMS_QUERIES = {
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
+    "stream_batch_parity": (q_stream_batch_parity, _sql_stream_batch_parity()),
     "cms_accuracy_report": (q_cms_accuracy_report, SQL_CMS_ACCURACY_REPORT),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
     "cms_weighted_build": (q_cms_weighted_build, SQL_CMS_WEIGHTED_BUILD),

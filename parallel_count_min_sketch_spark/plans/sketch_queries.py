@@ -258,11 +258,16 @@ ORDER BY q_pct
 def q_cms_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One CMS per language over document tokens (the grouped two-phase
     Arrow path), each probed for token 'key' — group totals and estimates
-    replayed exactly by the SQL oracle."""
+    replayed exactly by the SQL oracle. The probe runs in a distributed
+    ``finalize_grouped`` stage: sketch blobs are decoded inside executors,
+    never collected (scales to 10k+ groups — see
+    scripts/grouped_finalize_bench.py)."""
+    import pyarrow as pa
     import pyspark.sql.functions as F
 
     from ..config import CMSConfig
     from ..operators.agg import cms_grouped
+    from ..operators.sketch_agg import finalize_grouped
     from ..sketches.cms import CountMinSketch
     from ..sketches.hashing import djb2_py
 
@@ -271,15 +276,21 @@ def q_cms_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    grouped = cms_grouped(toks, "lang", "tok", cfg, string_items=True).collect()
-    probe = np.int64(djb2_py("key"))
-    rows = []
-    for r in grouped:
-        sk = CountMinSketch.from_bytes(bytes(r["sketch"]), cfg.epsilon, cfg.delta)
-        rows.append((r["group"], int(r["total"]), int(sk.point_query(probe)[0])))
-    return spark.createDataFrame(
-        rows, "lang STRING, total_tokens BIGINT, est_key BIGINT"
-    ).orderBy("lang")
+    grouped = cms_grouped(toks, "lang", "tok", cfg, string_items=True)
+    probe = int(djb2_py("key"))
+    eps, delta = cfg.epsilon, cfg.delta
+
+    def fin(row: dict) -> list[tuple]:
+        sk = CountMinSketch.from_bytes(row["sketch"], eps, delta)
+        est = int(sk.point_query(np.array([probe], dtype=np.int64))[0])
+        return [(row["group"], int(row["total"]), est)]
+
+    out = finalize_grouped(
+        grouped, fin, "lang STRING, total_tokens BIGINT, est_key BIGINT",
+        pa.schema([("lang", pa.string()), ("total_tokens", pa.int64()),
+                   ("est_key", pa.int64())]),
+    )
+    return out.orderBy("lang")
 
 
 def _sql_cms_grouped() -> str:
@@ -334,12 +345,17 @@ def djb2_sql_duckdb_local(expr: str) -> str:
 def q_hll_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One HLL per language over document tokens (generic grouped-sketch
     rails, operators/sketch_agg.sketch_grouped) — registers, estimator, and
-    bound all replayed exactly per group by the DuckDB oracle."""
+    bound all replayed exactly per group by the DuckDB oracle. Estimator
+    math runs in a distributed ``finalize_grouped`` stage (no blobs
+    collected); the error-bound boolean is a JVM expression over the
+    joined exact-distinct aggregate — identical IEEE double ops to the
+    old driver-side Python."""
     import math
 
+    import pyarrow as pa
     import pyspark.sql.functions as F
 
-    from ..operators.sketch_agg import sketch_grouped
+    from ..operators.sketch_agg import finalize_grouped, sketch_grouped
     from ..sketches.hll import HyperLogLog
 
     docs = load(spark, sf_dir, "documents")
@@ -347,25 +363,35 @@ def q_hll_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     grouped = sketch_grouped(toks, "lang", "tok", _mk_hll, _hll_from_bytes,
-                             string_items=True).collect()
-    exact = {
-        r["lang"]: r["d"]
-        for r in toks.groupBy("lang").agg(
-            F.countDistinct("tok").alias("d")).collect()
-    }
-    thr = 5 * (1.04 / math.sqrt(_mk_hll().m))
-    rows = []
-    for r in grouped:
-        sk = HyperLogLog.from_bytes(bytes(r["sketch"]))
+                             string_items=True)
+
+    def fin(row: dict) -> list[tuple]:
+        sk = HyperLogLog.from_bytes(row["sketch"])
         s, v, est = sk.estimate_portable()
-        ex = int(exact[r["group"]])
-        ok = abs(est - float(ex)) / float(ex) < thr
-        rows.append((r["group"], ex, int(v), int(s), int(math.floor(est)), bool(ok)))
-    return spark.createDataFrame(
-        rows,
-        "lang STRING, exact_distinct BIGINT, zero_registers BIGINT, "
-        "scaled_inverse_sum BIGINT, est_floor BIGINT, within_bound BOOLEAN",
-    ).orderBy("lang")
+        return [(row["group"], int(v), int(s), int(math.floor(est)), float(est))]
+
+    fin_df = finalize_grouped(
+        grouped, fin,
+        "lang STRING, zero_registers BIGINT, scaled_inverse_sum BIGINT, "
+        "est_floor BIGINT, _est DOUBLE",
+        pa.schema([("lang", pa.string()), ("zero_registers", pa.int64()),
+                   ("scaled_inverse_sum", pa.int64()), ("est_floor", pa.int64()),
+                   ("_est", pa.float64())]),
+    )
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct"))
+    thr = 5 * (1.04 / math.sqrt(_mk_hll().m))
+    return (
+        exact.join(F.broadcast(fin_df), "lang")
+        .select(
+            "lang", "exact_distinct", "zero_registers", "scaled_inverse_sum",
+            "est_floor",
+            ((F.abs(F.col("_est") - F.col("exact_distinct").cast("double"))
+              / F.col("exact_distinct").cast("double")) < F.lit(thr))
+            .alias("within_bound"),
+        )
+        .orderBy("lang")
+    )
 
 
 def _hll_grouped_sql() -> str:
@@ -424,55 +450,58 @@ ORDER BY lang
 def q_kll_grouped_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One KLL per event_type over events.value (generic grouped rails) —
     per-group exact discrete quantiles + n replayed by DuckDB, per-group
-    sketch estimates verified against exact ranks in one aggregation pass."""
+    sketch estimates verified against exact ranks. Everything is lazy
+    DataFrame composition: quantile probes run in a distributed
+    ``finalize_grouped`` stage (one row per group x quantile, no blobs
+    collected), exact ranks are one join + one groupBy whose expression
+    count is independent of the group count, and the exact discrete
+    quantiles come from the histogram-based DF operator — the whole query
+    survives 10k+ groups."""
+    import pyarrow as pa
     import pyspark.sql.functions as F
 
-    from ..operators.quantiles import exact_discrete_quantiles_grouped
-    from ..operators.sketch_agg import sketch_grouped
+    from ..operators.quantiles import exact_discrete_quantiles_grouped_df
+    from ..operators.sketch_agg import finalize_grouped, sketch_grouped
 
     ev = load(spark, sf_dir, "events")
     grouped = sketch_grouped(ev, "event_type", "value", _mk_kll, _kll_from_bytes,
-                             as_float=True).collect()
-    ests = {}
-    for r in grouped:
-        sk = _kll_from_bytes(bytes(r["sketch"]))
-        ests[r["group"]] = sk.quantile(np.array(QUANTS))
-    disc = exact_discrete_quantiles_grouped(ev, "event_type", "value", QUANTS)
+                             as_float=True)
+    quants = list(QUANTS)
 
-    # exact rank of every per-group estimate via melt-to-long: the
-    # estimates become a tiny broadcast DataFrame (group, q_idx, est),
-    # rank(g, v) = count(value <= v) within the (g, q_idx) cell — one
-    # join + one groupBy whose expression count is INDEPENDENT of the
-    # number of groups (a groups x quantiles driver-built agg list would
-    # not survive 10k groups).
+    def fin(row: dict) -> list[tuple]:
+        sk = _kll_from_bytes(row["sketch"])
+        est = sk.quantile(np.array(quants))
+        return [(row["group"], i, float(v)) for i, v in enumerate(est)]
+
+    est_long = finalize_grouped(
+        grouped, fin, "event_type STRING, q_idx INT, est_value DOUBLE",
+        pa.schema([("event_type", pa.string()), ("q_idx", pa.int32()),
+                   ("est_value", pa.float64())]),
+    )
     vals = ev.select("event_type", "value").filter(
         F.col("value").isNotNull() & F.col("event_type").isNotNull())
-    est_rows = [(g, i, float(v))
-                for g in sorted(ests) for i, v in enumerate(ests[g])]
-    est_df = spark.createDataFrame(
-        est_rows, "event_type STRING, q_idx INT, est_value DOUBLE")
     cells = (
-        vals.join(F.broadcast(est_df), "event_type")
+        vals.join(F.broadcast(est_long), "event_type")
         .groupBy("event_type", "q_idx")
-        .agg(F.count("*").alias("n"),
-             F.sum(F.when(F.col("value") <= F.col("est_value"), 1)
+        .agg(F.sum(F.when(F.col("value") <= F.col("est_value"), 1)
                    .otherwise(0)).alias("rank_cnt"))
-    ).collect()
-    n_by_g = {r["event_type"]: int(r["n"]) for r in cells}
-    rank_by = {(r["event_type"], r["q_idx"]): int(r["rank_cnt"]) for r in cells}
-
-    rows = []
-    for g in sorted(ests):
-        n = n_by_g[g]
-        for i, (q, _r, x) in enumerate(disc[g]):
-            rank = rank_by[(g, i)] / n
-            rows.append((g, int(round(q * 100)), n, float(x),
-                         bool(abs(rank - q) <= KLL_RANK_EPS)))
-    return spark.createDataFrame(
-        rows,
-        "event_type STRING, q_pct BIGINT, n BIGINT, exact_disc_value DOUBLE, "
-        "within_rank_bound BOOLEAN",
-    ).orderBy("event_type", "q_pct")
+    )
+    disc = exact_discrete_quantiles_grouped_df(ev, "event_type", "value", QUANTS)
+    joined = disc.join(
+        cells,
+        (disc["g"] == cells["event_type"]) & (disc["q_idx"] == cells["q_idx"]),
+    )
+    # rank_cnt / n: long / long is IEEE double division in both Spark and
+    # the old driver-side Python — bit-identical bound booleans
+    within = (F.abs(F.col("rank_cnt") / F.col("n") - F.col("q"))
+              <= F.lit(KLL_RANK_EPS))
+    return (
+        joined.select(
+            F.col("g").alias("event_type"), F.col("q_pct"), F.col("n"),
+            F.col("exact_disc_value"), within.alias("within_rank_bound"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
 
 
 def _kll_grouped_sql() -> str:

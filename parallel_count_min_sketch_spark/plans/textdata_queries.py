@@ -439,23 +439,109 @@ FROM ranked WHERE rank <= {ANN_K} ORDER BY query_id, rank
 
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
+KM_ITERS = 3
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN over the embeddings table (deterministic centroids =
-    the first 8 vectors; inverted-list assignment + nprobe=2 rescans) —
-    every stage replayed exactly by the oracle."""
-    from ..operators.similarity import ivf_ann_topk
+    """IVF-flat ANN over the embeddings table with SEEDED DISTRIBUTED
+    K-MEANS centroids (integer-quantized Lloyd iterations — exact,
+    summation-order-independent arithmetic, so the DuckDB oracle replays
+    init, every assignment, every centroid update, and the final
+    inverted-list ANN value-for-value). Recall vs the first-n-ids fallback
+    is measured in tests/test_textdata_ops.py."""
+    from ..operators.similarity import (
+        KMEANS_SCALE,
+        ivf_ann_topk,
+        kmeans_int_centroids,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
+    qc = kmeans_int_centroids(emb, "vec_id", "embedding", EMB_DIM,
+                              IVF_CENTROIDS, KM_ITERS)
+    cvecs = [[v / KMEANS_SCALE for v in c] for c in qc]
     return ivf_ann_topk(
         emb, "vec_id", "embedding", KNN_QUERIES, dim=EMB_DIM, k=ANN_K,
-        n_centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE,
+        nprobe=IVF_NPROBE, centroid_vecs=cvecs,
     ).orderBy("query_id", "rank")
 
 
+def _sql_kmeans_cents_ctes() -> str:
+    """The k-means replay: quantize -> seeded init -> KM_ITERS unrolled
+    Lloyd iterations in exact integer arithmetic (floor-div means — DuckDB
+    ``//`` truncates, so Python floor semantics are spelled out) ->
+    float + normalized centroids as ``cents(cid, cvec)``."""
+    from ..operators.similarity import KMEANS_SCALE, KMEANS_SEED
+
+    a, b = affine_params(KMEANS_SEED, 1)
+    aj, bj = int(a[0]), int(b[0])
+    dim = EMB_DIM
+    scale = f"CAST({KMEANS_SCALE} AS DOUBLE)"
+
+    def dist(q: str, c: str) -> str:
+        return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                f"list_transform(range(1, {dim} + 1), "
+                f"i -> ({q}[i]-{c}[i])*({q}[i]-{c}[i]))), (acc, v) -> acc + v)")
+
+    sums = ", ".join(f"SUM(qv[{i + 1}]) AS s{i}" for i in range(dim))
+
+    def floordiv(s: str) -> str:
+        # Python floor division for possibly-negative sums (cnt > 0)
+        return (f"(CASE WHEN {s} < 0 AND {s} % s.cnt <> 0 "
+                f"THEN {s} // s.cnt - 1 ELSE {s} // s.cnt END)")
+
+    newlist = "[" + ", ".join(floordiv(f"s.s{i}") for i in range(dim)) + "]"
+    iter_ctes = []
+    prev = "c0"
+    for t in range(1, KM_ITERS + 1):
+        iter_ctes.append(f"""
+d{t} AS (
+  SELECT q.vec_id, q.qv, c.cid, {dist('q.qv', 'c.cv')} AS dist
+  FROM qemb q CROSS JOIN {prev} c
+),
+a{t} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT vec_id, qv, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+),
+s{t} AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cnt, {sums} FROM a{t} GROUP BY cid),
+c{t} AS (
+  SELECT p.cid, CASE WHEN s.cid IS NULL THEN p.cv ELSE {newlist} END AS cv
+  FROM {prev} p LEFT JOIN s{t} s ON s.cid = p.cid
+)""")
+        prev = f"c{t}"
+    iters_sql = ",".join(iter_ctes)
+    norm = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, {dim} + 1), i -> f[i]*f[i])), "
+            "(acc, v) -> acc + v)")
+    return f"""
+qemb AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale} + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS qv
+  FROM embeddings
+),
+initord AS (
+  SELECT vec_id, qv,
+         ({aj} * (vec_id % {MERSENNE_PRIME}) + {bj}) % {MERSENNE_PRIME} AS ord
+  FROM qemb
+),
+c0 AS (
+  SELECT cid, cv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY ord ASC, vec_id ASC) - 1 AS cid, qv AS cv
+    FROM initord
+  ) WHERE cid < {IVF_CENTROIDS}
+),{iters_sql},
+cvf AS (
+  SELECT cid, list_transform(cv, v -> CAST(v AS DOUBLE) / {scale}) AS f
+  FROM {prev}
+),
+cents AS (
+  SELECT cid, list_transform(f, x -> x / sqrt({norm})) AS cvec FROM cvf
+)"""
+
+
 def _sql_ann_ivf() -> str:
-    cent_ids = ", ".join(str(i) for i in range(IVF_CENTROIDS))
     q_ids = ", ".join(str(x) for x in KNN_QUERIES)
     score = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
              f"list_transform(range(1, {EMB_DIM} + 1), "
@@ -464,12 +550,7 @@ def _sql_ann_ivf() -> str:
            f"(sqrt({_duck_fold_dot('qe.embedding', 'qe.embedding')}) * "
            f"sqrt({_duck_fold_dot('ne.embedding', 'ne.embedding')}))")
     return f"""
-WITH cents AS (
-  SELECT vec_id AS cid,
-         list_transform(embedding, x -> CAST(x AS DOUBLE) /
-             sqrt({_duck_fold_dot('embedding', 'embedding')})) AS cvec
-  FROM embeddings WHERE vec_id IN ({cent_ids})
-),
+WITH {_sql_kmeans_cents_ctes()},
 scoresv AS (
   SELECT e.vec_id, c.cid, {score} AS score
   FROM embeddings e CROSS JOIN cents c
@@ -639,6 +720,97 @@ FROM documents ORDER BY doc_id
 """
 
 
+# image synthesis constants shared by the Spark kernel and the DuckDB
+# oracle: per-doc deterministic 24-bit image, pixel value
+# (doc_id*31 + y*97 + x*13 + c*7) % 256, dims w = 4 + doc_id%5,
+# h = 4 + doc_id%3, nearest-neighbor resize to 4x4
+IMG_WMOD, IMG_HMOD = 5, 3
+IMG_RS = 4
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the pure-numpy BMP codec: a deterministic
+    per-doc image is encoded to 24-bit BMP bytes, decoded back through
+    ``decode_image`` (magic dispatch -> decode_bmp: header parse, row
+    padding, BGR->RGB, bottom-up flip), nearest-neighbor resized, and
+    reduced to integer stats. The DuckDB oracle computes the SAME stats in
+    closed form from the pixel formula — any decoder bug (stride, channel
+    order, row order, header offsets) breaks the value hash."""
+    import pyarrow as pa
+
+    from ..memtune import tune_allocator
+    from ..multimodal.binary_ops import decode_image, encode_bmp, resize_nearest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out_schema = ("doc_id BIGINT, width BIGINT, height BIGINT, "
+                  "bmp_bytes BIGINT, px_sum BIGINT, chan0_sum BIGINT, "
+                  "resized_sum BIGINT")
+    pa_schema = pa.schema([(n, pa.int64()) for n in (
+        "doc_id", "width", "height", "bmp_bytes", "px_sum", "chan0_sum",
+        "resized_sum")])
+    import numpy as np
+
+    def kernel(batches):
+        tune_allocator()
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {n: [] for n in pa_schema.names}
+            for did in ids.tolist():
+                w, h = 4 + did % IMG_WMOD, 4 + did % IMG_HMOD
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                img = ((did * 31 + y * 97 + x * 13 + c * 7) % 256).astype(np.uint8)
+                blob = encode_bmp(img)
+                dec = decode_image(blob)  # the real decode under test
+                rs = resize_nearest(dec, IMG_RS, IMG_RS)
+                cols["doc_id"].append(did)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["bmp_bytes"].append(len(blob))
+                cols["px_sum"].append(int(dec.sum()))
+                cols["chan0_sum"].append(int(dec[:, :, 0].sum()))
+                cols["resized_sum"].append(int(rs.sum()))
+            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    return docs.mapInArrow(kernel, out_schema).orderBy("doc_id")
+
+
+SQL_IMAGE_STATS = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % {IMG_WMOD} AS w, 4 + doc_id % {IMG_HMOD} AS h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         CAST(SUM((d.doc_id*31 + y.y*97 + x.x*13 + c.c*7) % 256) AS BIGINT) AS px_sum,
+         CAST(SUM(CASE WHEN c.c = 0
+                  THEN (d.doc_id*31 + y.y*97 + x.x*13) % 256 ELSE 0 END) AS BIGINT) AS chan0_sum
+  FROM dims d
+  CROSS JOIN range(0, 4 + {IMG_HMOD - 1}) y(y)
+  CROSS JOIN range(0, 4 + {IMG_WMOD - 1}) x(x)
+  CROSS JOIN range(0, 3) c(c)
+  WHERE y.y < d.h AND x.x < d.w
+  GROUP BY d.doc_id
+),
+rs AS (
+  SELECT d.doc_id,
+         CAST(SUM((d.doc_id*31 + ((i.i*d.h)//{IMG_RS})*97
+                   + ((j.j*d.w)//{IMG_RS})*13 + c.c*7) % 256) AS BIGINT) AS resized_sum
+  FROM dims d
+  CROSS JOIN range(0, {IMG_RS}) i(i)
+  CROSS JOIN range(0, {IMG_RS}) j(j)
+  CROSS JOIN range(0, 3) c(c)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       CAST(54 + d.h * ((d.w*3 + 3)//4*4) AS BIGINT) AS bmp_bytes,
+       px.px_sum, px.chan0_sum, rs.resized_sum
+FROM dims d JOIN px USING (doc_id) JOIN rs USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
@@ -657,4 +829,5 @@ TEXTDATA_QUERIES = {
     "ann_ivf": (q_ann_ivf, _sql_ann_ivf()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
+    "image_stats": (q_image_stats, SQL_IMAGE_STATS),
 }

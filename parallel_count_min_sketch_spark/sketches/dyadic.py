@@ -60,6 +60,12 @@ def decompose(lo: int, hi: int, base: int, levels: int) -> list[tuple[int, int]]
 class DyadicCMS:
     __slots__ = ("epsilon", "delta", "seed", "base", "levels", "sketches")
 
+    # update_batch(items, counts) takes native pre-aggregated counts (each
+    # level's CMS consumes them as weights) — without this the generic
+    # rails' _weighted_update would fall back to O(sum(weights)) repeat
+    # expansion for weighted dyadic builds.
+    WEIGHTED = "native"
+
     def __init__(self, epsilon: float = 0.001, delta: float = 0.1, seed: int = 1,
                  *, base: int = 16, levels: int = 8):
         if base < 2 or levels < 1:

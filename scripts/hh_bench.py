@@ -110,10 +110,16 @@ def main() -> None:
         "n_distinct_tokens": n_distinct,
         "phi": phi,
         "k_per_partition": k,
-        "candidate_stage_sec": round(cand_best, 3),
+        # round 4: the sketch build + candidate top-k are FUSED into one
+        # mapInArrow pass (fused_sketch_and_candidates), so the operator
+        # reads the corpus twice (fused scan + exact recount), down from 3.
+        # standalone_candidate_scan_sec times the old separate candidate
+        # pass for reference — inside the operator that scan no longer
+        # exists.
+        "corpus_scans": 2,
+        "standalone_candidate_scan_sec": round(cand_best, 3),
         "candidate_rows": int(n_cand),
         "total_hh_sec": round(total_best, 3),
-        "candidate_share_of_total": round(cand_best / total_best, 3),
         "tokens_per_sec_total": round(n_tokens / total_best, 1),
         "heavy_hitters": sorted(r["token"] for r in hh_rows),
     }

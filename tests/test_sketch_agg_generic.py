@@ -178,6 +178,43 @@ def test_repeat_bounded_matches_unbounded_mass():
         assert lo - 0.05 <= q <= hi + 0.05
 
 
+def test_repeat_bounded_one_bin_per_row_shape():
+    """Adversarial shape for the run binning: every weight just under the
+    chunk cap puts each row in its own bin. The contiguous-run slicing must
+    still consume exact mass (the old per-bin boolean mask was
+    O(n_rows * n_bins) here)."""
+    from parallel_count_min_sketch_spark.operators.sketch_agg import (
+        _update_repeat_bounded,
+    )
+
+    n = 64
+    vals = np.arange(n, dtype=np.float64)
+    w = np.full(n, 255, dtype=np.int64)  # max_chunk-1 each: one bin per row
+    sk = KLLSketch(200, seed=5)
+    _update_repeat_bounded(sk, vals, w, max_chunk=256)
+    assert sk.n == int(w.sum())
+    est = float(sk.quantile(np.array([0.5]))[0])
+    assert 0 <= est < n
+
+
+def test_weighted_dyadic_native_equals_exploded():
+    """DyadicCMS declares WEIGHTED='native': a weighted build must be
+    bit-identical to the exploded per-occurrence build at every level
+    (and must NOT route through repeat expansion)."""
+    from parallel_count_min_sketch_spark.operators.sketch_agg import _weighted_update
+    from parallel_count_min_sketch_spark.sketches.dyadic import DyadicCMS
+
+    assert DyadicCMS.WEIGHTED == "native"
+    vals = np.array([3, 90, 4097, 3, 17], dtype=np.int64)
+    w = np.array([2, 5, 1, 3, 4], dtype=np.int64)
+    a = DyadicCMS(0.01, 0.1, 7, base=4, levels=5)
+    consumed = _weighted_update(a, vals, w)
+    assert consumed == int(w.sum())
+    b = DyadicCMS(0.01, 0.1, 7, base=4, levels=5)
+    b.update_batch(np.repeat(vals, w))
+    assert a.to_bytes() == b.to_bytes()
+
+
 @pytest.fixture(scope="module")
 def grouped_weighted_df(spark):
     rng = np.random.default_rng(11)
