@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     "ann_ivf",
     "text_quality",
     "image_stats",
+    "kmv_distinct",
+    "kmv_set_ops",
+    "hash_sample_docs",
 ]
 
 
@@ -127,15 +130,18 @@ def bench_cms_build(spark, corpus_path: str) -> dict:
 
     # 5 warm runs per config, median +/- spread (the reference's
     # mpi_benchmark.py:143-151 averages 10 runs; this sandbox's page-fault
-    # stalls also make single runs untrustworthy)
+    # stalls also make single runs untrustworthy). The two strategies are
+    # INTERLEAVED (sql, arrow, sql, arrow, ...): the sandbox's fresh-page
+    # throttle decays over tens of seconds, so back-to-back blocks would
+    # charge the whole decay window to whichever strategy runs first;
+    # pairing gives both strategies samples across the same load curve.
     sql_runs = []
+    arrow_runs = []
     for _ in range(BUILD_RUNS):
         t0 = time.perf_counter()
         cms_table_df(toks, "tok", cfg, string_items=True).collect()
         sql_runs.append(time.perf_counter() - t0)
 
-    arrow_runs = []
-    for _ in range(BUILD_RUNS):
         t0 = time.perf_counter()
         sk = build_cms_from_text(df, "text", cfg)
         arrow_runs.append(time.perf_counter() - t0)

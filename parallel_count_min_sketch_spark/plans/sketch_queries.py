@@ -17,6 +17,7 @@ from ..operators.sketch_agg import build_sketch
 from ..sketches.bloom import BloomFilter
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLLSketch
+from ..sketches.kmv import KMVSketch
 from ..sketches.tdigest import TDigest
 from ..sources.tables import load
 
@@ -591,6 +592,135 @@ FROM ({union})
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch + set operations.
+# ---------------------------------------------------------------------------
+KMV_K = 256
+KMV_SEED = 31
+KMV_SET_K = 512
+KMV_SET_SEED = 43
+
+
+def _mk_kmv():
+    return KMVSketch(KMV_K, KMV_SEED)
+
+
+def _mk_kmv_set():
+    return KMVSketch(KMV_SET_K, KMV_SET_SEED)
+
+
+def _kmv_from_bytes(b):
+    return KMVSketch.from_bytes(b)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct estimate over lineitem.l_partkey. The state
+    (k smallest distinct affine hashes) and the estimator floor are pure
+    integer arithmetic — the DuckDB oracle replays both literally
+    (``SELECT DISTINCT h ORDER BY h LIMIT k``). At sf<=0.001 the sketch is
+    EXACT (fewer than k distinct values); at sf0.01+ the (k-1)*p/theta
+    estimator engages — both regimes flow through the same columns."""
+    from ..sketches.hashing import MERSENNE_PRIME
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = build_sketch(li, "l_partkey", _mk_kmv, _kmv_from_bytes)
+    exact = li.select("l_partkey").distinct().count()
+    n, theta, _est = sk.estimate_portable()
+    est_floor = n if n < sk.k else ((sk.k - 1) * MERSENNE_PRIME) // theta
+    within = abs(est_floor - exact) * 4 <= exact  # 25% bound, integer math
+    return spark.createDataFrame(
+        [(int(exact), int(n), int(theta), int(est_floor), bool(within))],
+        "exact_distinct BIGINT, n_kept BIGINT, theta BIGINT, "
+        "est_floor BIGINT, within_25pct BOOLEAN",
+    )
+
+
+def _kmv_sql() -> str:
+    from ..sketches.hashing import MERSENNE_PRIME
+
+    sk = _mk_kmv()
+    p, k = MERSENNE_PRIME, sk.k
+    h = affine_sql(sk.a, sk.b, "item_id")
+    return f"""
+WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
+hashed AS (SELECT DISTINCT {h} AS h FROM ids),
+kept AS (SELECT h FROM hashed ORDER BY h LIMIT {k}),
+st AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM kept),
+fin AS (SELECT n, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM st),
+est AS (SELECT n, theta,
+               CAST(CASE WHEN n < {k} THEN n
+                         ELSE (CAST({k - 1} AS BIGINT) * {p}) // theta END AS BIGINT) AS est_floor
+        FROM fin),
+ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem)
+SELECT ex.exact_distinct, CAST(est.n AS BIGINT) AS n_kept,
+       CAST(est.theta AS BIGINT) AS theta, est.est_floor,
+       (abs(est.est_floor - ex.exact_distinct) * 4 <= ex.exact_distinct) AS within_25pct
+FROM est, ex
+"""
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap audit: one KMV sketch of o_custkey per o_orderstatus
+    (grouped build on the shared rails), then intersection / union /
+    Jaccard estimates for every status pair — combined INSIDE executors
+    (operators/setops.kmv_pair_estimates), zero blobs collected. HLL
+    cannot answer intersections; this is the set-op surface a
+    training-data pipeline uses for split-overlap checks."""
+    from ..operators.setops import kmv_pair_estimates
+    from ..operators.sketch_agg import sketch_grouped
+
+    orders = load(spark, sf_dir, "orders")
+    grouped = sketch_grouped(orders, "o_orderstatus", "o_custkey",
+                             _mk_kmv_set, _kmv_from_bytes)
+    return kmv_pair_estimates(grouped).orderBy("group_a", "group_b")
+
+
+def _kmv_set_ops_sql() -> str:
+    from ..sketches.hashing import MERSENNE_PRIME
+
+    sk = _mk_kmv_set()
+    p, k = MERSENNE_PRIME, sk.k
+    h = affine_sql(sk.a, sk.b, "CAST(o_custkey AS BIGINT)")
+    return f"""
+WITH hashed AS (SELECT DISTINCT o_orderstatus AS g, {h} AS h FROM orders),
+ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed),
+kept AS (SELECT g, h FROM ranked WHERE rn <= {k}),
+gstats AS (SELECT g, COUNT(*) AS n, MAX(h) AS mx FROM kept GROUP BY g),
+thetas AS (SELECT g, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM gstats),
+pairs AS (SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
+          FROM thetas a JOIN thetas b ON a.g < b.g),
+common AS (SELECT pr.ga, pr.gb, COUNT(*) AS n_common
+           FROM pairs pr
+           JOIN kept ka ON ka.g = pr.ga AND ka.h < pr.theta
+           JOIN kept kb ON kb.g = pr.gb AND kb.h = ka.h
+           GROUP BY pr.ga, pr.gb),
+union_below AS (SELECT pr.ga, pr.gb, COUNT(DISTINCT kk.h) AS n_ub
+                FROM pairs pr
+                JOIN kept kk ON kk.g IN (pr.ga, pr.gb) AND kk.h < pr.theta
+                GROUP BY pr.ga, pr.gb),
+union_ranked AS (
+  SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM (SELECT DISTINCT pr.ga, pr.gb, kk.h
+        FROM pairs pr JOIN kept kk ON kk.g IN (pr.ga, pr.gb))),
+union_stats AS (SELECT ga, gb, COUNT(*) AS n_u, MAX(h) AS mx_u
+                FROM union_ranked WHERE rn <= {k} GROUP BY ga, gb)
+SELECT pr.ga AS group_a, pr.gb AS group_b,
+       CAST(pr.theta AS BIGINT) AS theta,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(ub.n_ub, 0) AS BIGINT) AS n_union_below_theta,
+       CAST((CAST(COALESCE(c.n_common, 0) AS BIGINT) * {p}) // pr.theta AS BIGINT) AS inter_floor,
+       CAST(CASE WHEN us.n_u < {k} THEN us.n_u
+                 ELSE (CAST({k - 1} AS BIGINT) * {p}) // us.mx_u END AS BIGINT) AS union_floor,
+       CAST(CASE WHEN COALESCE(ub.n_ub, 0) = 0 THEN 0
+                 ELSE (10000 * COALESCE(c.n_common, 0)) // ub.n_ub END AS BIGINT) AS jaccard_bp
+FROM pairs pr
+LEFT JOIN common c ON c.ga = pr.ga AND c.gb = pr.gb
+LEFT JOIN union_below ub ON ub.ga = pr.ga AND ub.gb = pr.gb
+JOIN union_stats us ON us.ga = pr.ga AND us.gb = pr.gb
+ORDER BY group_a, group_b
+"""
+
+
 SKETCH_QUERIES = {
     "cms_grouped_by_lang": (q_cms_grouped_by_lang, _sql_cms_grouped()),
     "dyadic_range_query": (q_dyadic_range_query, _sql_dyadic()),
@@ -598,6 +728,8 @@ SKETCH_QUERIES = {
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
+    "kmv_distinct": (q_kmv_distinct, _kmv_sql()),
+    "kmv_set_ops": (q_kmv_set_ops, _kmv_set_ops_sql()),
     "kll_quantiles": (q_kll_quantiles, _quantile_sql()),
     "kll_grouped_by_type": (q_kll_grouped_by_type, _kll_grouped_sql()),
     "tdigest_quantiles": (q_tdigest_quantiles, _quantile_sql()),

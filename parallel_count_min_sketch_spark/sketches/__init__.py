@@ -4,6 +4,7 @@ from .dyadic import DyadicCMS
 from .hashing import LONG_PRIME, MERSENNE_PRIME, affine_hash, affine_params, djb2_batch, djb2_py
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .kmv import KMVSketch
 from .reference_cms import SequentialCMS
 from .tdigest import TDigest
 
@@ -13,6 +14,7 @@ __all__ = [
     "DyadicCMS",
     "HyperLogLog",
     "KLLSketch",
+    "KMVSketch",
     "SequentialCMS",
     "TDigest",
     "bloom_dims",
