@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import affine_sql
 from ..operators.sketch_agg import build_sketch
 from ..sketches.bloom import BloomFilter
+from ..sketches.countsketch import CountSketch
 from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLLSketch
 from ..sketches.kmv import KMVSketch
@@ -721,6 +722,136 @@ ORDER BY group_a, group_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-Sketch (AMS): unbiased point estimates + F2 moment.
+# ---------------------------------------------------------------------------
+CS_DEPTH = 5  # odd -> the median is an exact middle order statistic
+CS_WIDTH = 1024
+CS_SEED = 53
+
+
+def _mk_cs():
+    return CountSketch(CS_DEPTH, CS_WIDTH, CS_SEED)
+
+
+def _cs_from_bytes(b):
+    return CountSketch.from_bytes(b)
+
+
+def _cs_counter_rows_sql(tc: str) -> str:
+    """Counter table replay: per depth row, bucket = affine(item) % width,
+    counter = SUM(sign * cnt) over distinct tokens (``tc`` must provide
+    item_id, cnt). Pure BIGINT arithmetic."""
+    cs = _mk_cs()
+    parts = []
+    for j in range(cs.depth):
+        bkt = f"({affine_sql(int(cs.a[j]), int(cs.b[j]), 'item_id')}) % {cs.width}"
+        sgn = f"((({affine_sql(int(cs.sa[j]), int(cs.sb[j]), 'item_id')}) % 2) * 2 - 1)"
+        parts.append(
+            f"SELECT {j} AS depth_row, {bkt} AS bucket, "
+            f"CAST(SUM({sgn} * cnt) AS BIGINT) AS counter FROM ({tc}) GROUP BY 2"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_countsketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Count-Sketch point estimates for the fixed token probes,
+    next to exact counts. The DuckDB oracle replays the signed counter
+    table and the median-of-5 estimate as the middle order statistic —
+    every column exact integer arithmetic."""
+    from .cms_queries import TOKEN_PROBES, _token_df
+
+    toks = _token_df(spark, sf_dir)
+    sk = build_sketch(toks, "tok", _mk_cs, _cs_from_bytes, string_items=True)
+    est = sk.point_query_strings(TOKEN_PROBES)
+    exact = {r["tok"]: r["count"] for r in toks.groupBy("tok").count().collect()}
+    rows = [
+        (t, int(exact.get(t, 0)), int(e))
+        for t, e in zip(TOKEN_PROBES, est)
+    ]
+    return spark.createDataFrame(
+        rows, "token STRING, exact_count BIGINT, cs_estimate BIGINT"
+    ).orderBy("token")
+
+
+def _cs_estimates_sql() -> str:
+    from .cms_queries import TOKEN_PROBES, _DUCK_TOKENS
+    from ..config import djb2_sql_duckdb
+
+    cs = _mk_cs()
+    mid = cs.depth // 2 + 1
+    tc = (f"SELECT {djb2_sql_duckdb('tok')} AS item_id, "
+          f"CAST(COUNT(*) AS BIGINT) AS cnt FROM ({_DUCK_TOKENS}) GROUP BY tok")
+    probes_vals = ", ".join(f"('{t}')" for t in TOKEN_PROBES)
+    probe_rows = []
+    for j in range(cs.depth):
+        bkt = f"({affine_sql(int(cs.a[j]), int(cs.b[j]), 'item_id')}) % {cs.width}"
+        sgn = f"((({affine_sql(int(cs.sa[j]), int(cs.sb[j]), 'item_id')}) % 2) * 2 - 1)"
+        probe_rows.append(
+            f"SELECT token, {j} AS depth_row, {bkt} AS bucket, {sgn} AS sign FROM probe_ids"
+        )
+    return f"""
+WITH tc AS ({tc}),
+counters AS ({_cs_counter_rows_sql('SELECT * FROM tc')}),
+probes AS (SELECT token FROM (VALUES {probes_vals}) AS v(token)),
+probe_ids AS (SELECT token, {djb2_sql_duckdb('token')} AS item_id FROM probes),
+probe_buckets AS ({' UNION ALL '.join(probe_rows)}),
+votes AS (
+  SELECT pb.token, pb.sign * COALESCE(c.counter, 0) AS est
+  FROM probe_buckets pb LEFT JOIN counters c USING (depth_row, bucket)
+),
+ranked AS (SELECT token, est, row_number() OVER (PARTITION BY token ORDER BY est) AS rn FROM votes),
+med AS (SELECT token, CAST(est AS BIGINT) AS cs_estimate FROM ranked WHERE rn = {mid}),
+exact AS (
+  SELECT p.token, CAST(COALESCE(x.cnt, 0) AS BIGINT) AS exact_count
+  FROM probes p LEFT JOIN (SELECT tok AS token, COUNT(*) AS cnt
+                           FROM ({_DUCK_TOKENS}) GROUP BY tok) x USING (token)
+)
+SELECT exact.token, exact.exact_count, med.cs_estimate
+FROM exact JOIN med USING (token) ORDER BY token
+"""
+
+
+def q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second frequency moment over the token stream — the join-size /
+    self-similarity estimator — next to the exact F2, both pure integers."""
+    from .cms_queries import _token_df
+
+    toks = _token_df(spark, sf_dir)
+    sk = build_sketch(toks, "tok", _mk_cs, _cs_from_bytes, string_items=True)
+    cs_f2 = sk.f2_estimate()
+    counts = toks.groupBy("tok").count()
+    exact_f2 = counts.selectExpr(
+        "CAST(SUM(count * count) AS BIGINT) AS f2").collect()[0]["f2"]
+    within = abs(cs_f2 - exact_f2) * 4 <= exact_f2  # 25% bound, integer math
+    return spark.createDataFrame(
+        [(int(exact_f2), int(cs_f2), bool(within))],
+        "exact_f2 BIGINT, cs_f2 BIGINT, within_25pct BOOLEAN",
+    )
+
+
+def _cs_f2_sql() -> str:
+    from .cms_queries import _DUCK_TOKENS
+    from ..config import djb2_sql_duckdb
+
+    cs = _mk_cs()
+    mid = cs.depth // 2 + 1
+    tc = (f"SELECT {djb2_sql_duckdb('tok')} AS item_id, "
+          f"CAST(COUNT(*) AS BIGINT) AS cnt FROM ({_DUCK_TOKENS}) GROUP BY tok")
+    return f"""
+WITH tc AS ({tc}),
+counters AS ({_cs_counter_rows_sql('SELECT * FROM tc')}),
+row_f2 AS (SELECT depth_row, CAST(SUM(counter * counter) AS BIGINT) AS r
+           FROM counters GROUP BY depth_row),
+ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM row_f2),
+med AS (SELECT CAST(r AS BIGINT) AS cs_f2 FROM ranked WHERE rn = {mid}),
+exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_f2 FROM tc)
+SELECT exact.exact_f2, med.cs_f2,
+       (abs(med.cs_f2 - exact.exact_f2) * 4 <= exact.exact_f2) AS within_25pct
+FROM exact, med
+"""
+
+
 SKETCH_QUERIES = {
     "cms_grouped_by_lang": (q_cms_grouped_by_lang, _sql_cms_grouped()),
     "dyadic_range_query": (q_dyadic_range_query, _sql_dyadic()),
@@ -728,6 +859,8 @@ SKETCH_QUERIES = {
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
+    "countsketch_estimates": (q_countsketch_estimates, _cs_estimates_sql()),
+    "countsketch_f2": (q_countsketch_f2, _cs_f2_sql()),
     "kmv_distinct": (q_kmv_distinct, _kmv_sql()),
     "kmv_set_ops": (q_kmv_set_ops, _kmv_set_ops_sql()),
     "kll_quantiles": (q_kll_quantiles, _quantile_sql()),

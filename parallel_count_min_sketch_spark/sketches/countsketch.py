@@ -1,0 +1,139 @@
+"""Count-Sketch (AMS sketch; Charikar-Chen-Farach-Colton 2002) — the
+UNBIASED complement to the reference's Count-Min (north-star addition,
+SURVEY §2.8: the reference has only the one-sided CMS estimator,
+src/core/count_min_sketch.c).
+
+Where CMS always over-estimates (one-sided error eps*N), Count-Sketch's
+signed updates give E[est] = true count with error ~ sqrt(F2)/sqrt(w) per
+row, median-of-d rows — much tighter on heavy-tailed token streams, and
+the same sketch yields the second frequency moment F2 (the AMS estimator),
+which a pipeline uses for join-size / self-similarity estimation.
+
+Design contract matches the other kernels: per-row bucket hash AND sign
+hash are seeded affine functions over the Mersenne prime; the counter
+table is plain int64 sums, so a SQL oracle replays the whole state as
+``SUM(sign)`` grouped by (depth_row, bucket), and the median-of-d point
+estimate as the middle element of d ordered integers (d is odd by
+construction — no float interpolation anywhere).
+
+Merge = element-wise sum (associative/commutative); weighted updates are
+native (signed weight adds).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import MERSENNE_PRIME, affine_params, djb2_batch
+
+_MAGIC = b"CSK1"
+_HEADER = struct.Struct("<4sIIq")  # magic, depth, width, seed
+
+
+class CountSketch:
+    WEIGHTED = "native"
+    __slots__ = ("depth", "width", "seed", "a", "b", "sa", "sb", "table")
+
+    def __init__(self, depth: int = 5, width: int = 2048, seed: int = 1,
+                 table: np.ndarray | None = None):
+        if depth % 2 == 0:
+            raise ValueError("depth must be odd (exact integer median)")
+        self.depth = int(depth)
+        self.width = int(width)
+        self.seed = int(seed)
+        # rows 0..d-1: bucket hashes; derived second family: sign hashes.
+        # Both from one seeded draw of 2*depth affine pairs so the full
+        # parameter set is a pure function of (seed, depth).
+        a, b = affine_params(seed, 2 * depth)
+        self.a, self.b = a[:depth], b[:depth]
+        self.sa, self.sb = a[depth:], b[depth:]
+        if table is None:
+            self.table = np.zeros((depth, width), dtype=np.int64)
+        else:
+            table = np.asarray(table, dtype=np.int64)
+            if table.shape != (depth, width):
+                raise ValueError("table shape mismatch")
+            self.table = table
+
+    def config_key(self):
+        return (self.depth, self.width, self.seed)
+
+    # -- hashing -----------------------------------------------------------
+    def _buckets_signs(self, items: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        x = np.asarray(items, dtype=np.int64) % MERSENNE_PRIME
+        h = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE_PRIME
+        s = (self.sa[:, None] * x[None, :] + self.sb[:, None]) % MERSENNE_PRIME
+        return h % self.width, (s % 2) * 2 - 1  # sign in {-1, +1}
+
+    # -- update ------------------------------------------------------------
+    def update_batch(self, items, weights=None) -> None:
+        items = np.asarray(items, dtype=np.int64)
+        if items.size == 0:
+            return
+        w = (np.ones(len(items), dtype=np.int64) if weights is None
+             else np.asarray(weights, dtype=np.int64))
+        buckets, signs = self._buckets_signs(items)
+        for j in range(self.depth):
+            np.add.at(self.table[j], buckets[j], signs[j] * w)
+
+    def update_strings(self, tokens, weights=None) -> None:
+        self.update_batch(djb2_batch(tokens), weights)
+
+    # -- query -------------------------------------------------------------
+    def estimates_per_row(self, items) -> np.ndarray:
+        """int64[depth, n]: the signed counter each row votes for."""
+        items = np.asarray(items, dtype=np.int64)
+        buckets, signs = self._buckets_signs(items)
+        return np.stack([self.table[j, buckets[j]] * signs[j]
+                         for j in range(self.depth)])
+
+    def point_query(self, items) -> np.ndarray:
+        """Median-of-depth point estimates (exact integer median — depth
+        is odd, so this is the middle order statistic, no averaging)."""
+        per_row = self.estimates_per_row(items)
+        return np.sort(per_row, axis=0)[self.depth // 2]
+
+    def point_query_strings(self, tokens) -> np.ndarray:
+        return self.point_query(djb2_batch(tokens))
+
+    def f2_estimate(self) -> int:
+        """AMS second-moment estimate: median over rows of sum_c c^2 —
+        exact integer arithmetic (row sums < 2^63 for realistic masses)."""
+        per_row = (self.table.astype(np.int64) ** 2).sum(axis=1)
+        return int(np.sort(per_row)[self.depth // 2])
+
+    # -- merge -------------------------------------------------------------
+    def merge(self, other: "CountSketch") -> "CountSketch":
+        if self.config_key() != other.config_key():
+            raise ValueError("incompatible CountSketch configs")
+        self.table += other.table
+        return self
+
+    def copy_empty(self) -> "CountSketch":
+        return CountSketch(self.depth, self.width, self.seed)
+
+    # -- serialization -----------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return _HEADER.pack(_MAGIC, self.depth, self.width, self.seed) + \
+            self.table.astype("<i8").tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountSketch":
+        magic, depth, width, seed = _HEADER.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError("not a CSK1 blob")
+        table = np.frombuffer(data, dtype="<i8", offset=_HEADER.size) \
+            .astype(np.int64).reshape(depth, width)
+        return cls(depth, width, seed, table=table)
+
+    @staticmethod
+    def merge_blobs(blobs) -> "CountSketch":
+        out = None
+        for blob in blobs:
+            sk = CountSketch.from_bytes(bytes(blob))
+            out = sk if out is None else out.merge(sk)
+        if out is None:
+            raise ValueError("no blobs to merge")
+        return out
