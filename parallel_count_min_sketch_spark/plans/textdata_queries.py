@@ -824,6 +824,53 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# End-to-end cleaning pipeline composition.
+# ---------------------------------------------------------------------------
+PIPELINE_MIN_QUALITY_BP = 5000
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed shape a real training-data cleaning job has: quality
+    filter -> exact dedup (keep-min-id) -> language-ID -> per-language
+    corpus stats, all in ONE lazy Catalyst plan (the quality predicate
+    pushes into the scan side of the dedup shuffle; nothing materializes
+    between stages). Exercises that the operator family composes, not just
+    that each piece works alone. Every output column is exact integer
+    arithmetic the DuckDB oracle replays."""
+    docs = _docs_with_dups(spark, sf_dir)
+    filtered = docs.filter(
+        ts.quality_score_bp("text") >= PIPELINE_MIN_QUALITY_BP)
+    kept = dd.dedup_keep_canonical(filtered, "doc_id")
+    return (
+        kept.groupBy(ts.lang_id_pred("text").alias("pred_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ts.n_tokens("text")).alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
+def _sql_pipeline_clean_corpus() -> str:
+    return f"""
+WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
+filtered AS (
+  SELECT doc_id, text FROM docs
+  WHERE {ts.duck_quality_score_bp('text')} >= {PIPELINE_MIN_QUALITY_BP}),
+hashed AS (SELECT doc_id, text, md5(text) AS digest FROM filtered),
+keepers AS (SELECT digest, MIN(doc_id) AS keep_id FROM hashed GROUP BY digest),
+kept AS (SELECT h.doc_id, h.text FROM hashed h
+         JOIN keepers k ON k.digest = h.digest AND k.keep_id = h.doc_id)
+SELECT {ts.duck_lang_id_pred('text')} AS pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({ts.duck_n_tokens('text')}) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM kept GROUP BY 1 ORDER BY pred_lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling (reservoir-equivalent, engine-replayable).
 # ---------------------------------------------------------------------------
 SAMPLE_K = 100
@@ -869,6 +916,7 @@ LIMIT {SAMPLE_K}
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
+    "pipeline_clean_corpus": (q_pipeline_clean_corpus, _sql_pipeline_clean_corpus()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
