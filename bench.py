@@ -37,6 +37,26 @@ def _median(xs: list) -> float:
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+# Host-stall exclusion: this sandbox's bursty stalls (observed 14-119 s
+# for an identical warm job minutes apart) can poison a MAJORITY of a
+# run array — a 43 s sample of a job whose clean runs take 1.2 s is
+# measuring the host, not the engine, and even a median-of-7 breaks when
+# 4 of 7 samples land in a stall burst. Rule: a run > 3x the array's
+# minimum is stall-contaminated and excluded from the median. The raw
+# arrays (and the exclusion count) always ship in the JSON, so the rule
+# is auditable; ordinary jitter (< 2x) is never excluded.
+_STALL_FACTOR = 3.0
+
+
+def _stall_free(xs: list) -> list:
+    lo = min(xs)
+    return [x for x in xs if x <= _STALL_FACTOR * lo]
+
+
+def _clean_median(xs: list) -> float:
+    return _median(_stall_free(xs))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 BENCH_QUERIES = [
@@ -66,6 +86,9 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "kmv_set_ops",
     "hash_sample_docs",
+    "mg_frequent_tokens",
+    "bloom_semijoin_stats",
+    "pipeline_clean_corpus",
 ]
 
 
@@ -150,21 +173,22 @@ def bench_cms_build(spark, corpus_path: str) -> dict:
         arrow_runs.append(time.perf_counter() - t0)
     assert sk.total == n_tokens, "sql and arrow builds disagree on token mass"
 
-    # median, not mean: this sandbox suffers bursty host-level stalls
-    # (observed 14s-119s for the identical warm job minutes apart); the
-    # median of 5 is robust to a single stalled run while still averaging
-    # away ordinary jitter. Raw runs ship in the JSON for transparency.
-    sql_wall = _median(sql_runs)
-    arrow_wall = _median(arrow_runs)
+    # stall-excluded median, not mean (see _clean_median): the sandbox's
+    # stall bursts can span several consecutive runs, which breaks a
+    # plain median. Raw runs ship in the JSON for transparency.
+    sql_wall = _clean_median(sql_runs)
+    arrow_wall = _clean_median(arrow_runs)
     best = min(sql_wall, arrow_wall)
     return {
         "build_sec": round(best, 3),
         "sql_build_sec": round(sql_wall, 3),
         "sql_build_runs": [round(w, 3) for w in sql_runs],
         "sql_build_spread_sec": round(max(sql_runs) - min(sql_runs), 3),
+        "sql_build_n_stalled": len(sql_runs) - len(_stall_free(sql_runs)),
         "arrow_build_sec": round(arrow_wall, 3),
         "arrow_build_runs": [round(w, 3) for w in arrow_runs],
         "arrow_build_spread_sec": round(max(arrow_runs) - min(arrow_runs), 3),
+        "arrow_build_n_stalled": len(arrow_runs) - len(_stall_free(arrow_runs)),
         "warmup_sec": round(warmup_sec, 3),
         "n_docs": n_docs,
         "n_tokens": n_tokens,
@@ -213,8 +237,8 @@ def bench_reference_parity(spark, n_items: int) -> dict:
     for r in rows:
         sk2.table[r["depth_row"], r["bucket"]] = r["counter"]
     assert (sk2.table == sk.table).all(), "pre-agg build diverged"
-    build_runs = min(per_occ_runs, preagg_runs, key=_median)
-    build_sec = _median(build_runs)
+    build_runs = min(per_occ_runs, preagg_runs, key=_clean_median)
+    build_sec = _clean_median(build_runs)
     df.unpersist()
     assert int(sk.point_query(np.array([123]))[0]) >= n_exact_123  # one-sided
 
@@ -247,8 +271,9 @@ def bench_reference_parity(spark, n_items: int) -> dict:
         "items_build_sec": round(build_sec, 3),
         "items_build_runs": [round(w, 3) for w in build_runs],
         "items_build_spread_sec": round(max(build_runs) - min(build_runs), 3),
-        "items_build_per_occurrence_sec": round(_median(per_occ_runs), 3),
-        "items_build_preagg_sec": round(_median(preagg_runs), 3),
+        "items_build_per_occurrence_sec": round(_clean_median(per_occ_runs), 3),
+        "items_build_preagg_sec": round(_clean_median(preagg_runs), 3),
+        "items_build_n_stalled": len(build_runs) - len(_stall_free(build_runs)),
         "n_items": n_items,
         "items_per_sec": round(n_items / build_sec, 1),
         "exact_123": int(n_exact_123),
@@ -287,7 +312,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             runs.append(round(time.perf_counter() - t0, 3))
-        timings[name] = round(_median(runs), 3)
+        timings[name] = round(_clean_median(runs), 3)
         timings[name + "_runs"] = runs
     timings["cms_build_corpus_sql"] = build["sql_build_sec"]
     timings["cms_build_corpus_arrow"] = build["arrow_build_sec"]

@@ -252,3 +252,72 @@ def heavy_hitters_scalable(df, text_col: str, cfg: CMSConfig, phi: float, *,
         .select("token", "exact_count", "cms_estimate")
         .orderBy(F.desc("exact_count"), "token")
     )
+
+
+def _mg_from_bytes(b):
+    from ..sketches.misra_gries import MisraGries
+
+    return MisraGries.from_bytes(b)
+
+
+def mg_frequent_tokens(df, text_col: str, k: int, phi: float) -> DataFrame:
+    """EXACT frequent tokens at threshold floor(phi*N) via a distributed
+    Misra-Gries summary (sketches/misra_gries.py) — the deterministic,
+    hash-free sibling of :func:`heavy_hitters_scalable`.
+
+    Shape: ONE summary build scan (mapInArrow partials + treeReduce merge;
+    the whole merged state is <= k (item, count) pairs, so the driver
+    holds O(k), never the token universe), then candidate pruning by the
+    summary's exact error bound (drop items whose upper bound
+    est + offset_total is below the threshold — cannot lose a true
+    frequent item), then one exact recount scan of the surviving
+    candidates (broadcast semi-join). Requires k+1 > 1/phi so the MG
+    capacity guarantee (every item with count > N/(k+1) is retained)
+    covers the threshold — enforced with a raise.
+
+    Output is the exact frequent-token set plus the MG bound check
+    (lower <= exact <= lower + offset, TRUE by the summary's invariant),
+    partition-invariant and therefore value-checkable against a plain
+    GROUP BY oracle."""
+    from functools import partial
+
+    from ..config import djb2_sql_spark
+    from ..sketches.misra_gries import MisraGries
+    from .sketch_agg import build_sketch
+
+    if k + 1 <= 1.0 / phi:
+        raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 1/phi")
+    toks = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    # partial(MisraGries, k) / the module-level wrapper pickle by
+    # REFERENCE; a lambda or bound classmethod would serialize the class
+    # by value and trip over the module's struct.Struct constants
+    mg = build_sketch(toks, "tok", partial(MisraGries, k),
+                      _mg_from_bytes, string_items=True)
+    n = mg.n_total
+    thresh = int(phi * n)
+    offset = mg.error_bound()
+    ub = mg.counts + offset
+    keep = ub >= thresh
+    spark = df.sparkSession
+    cand = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in zip(mg.items[keep], mg.counts[keep])],
+        "item_id LONG, mg_lower LONG",
+    )
+    toks_id = toks.withColumn("item_id", F.expr(djb2_sql_spark("tok")))
+    exact = (
+        toks_id.join(F.broadcast(cand), "item_id")
+        .groupBy("tok", "mg_lower")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.filter(F.col("exact_count") >= thresh)
+        .select(
+            F.col("tok").alias("token"),
+            "exact_count",
+            ((F.col("mg_lower") <= F.col("exact_count"))
+             & (F.col("exact_count") <= F.col("mg_lower") + F.lit(int(offset))))
+            .alias("mg_bound_ok"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )

@@ -518,8 +518,37 @@ FROM pts
 """
 
 
+MG_K = 512  # Misra-Gries capacity; needs k+1 > 1/HH_FRACTION (=50)
+
+
+def q_mg_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens via a distributed Misra-Gries summary
+    (operators/heavy_hitters.mg_frequent_tokens): deterministic, hash-free
+    alternative to the CMS heavy-hitter path. One summary-build scan
+    (<= MG_K pairs of merged state), error-bound candidate prune, one
+    exact recount scan — output is the EXACT frequent set at
+    floor(HH_FRACTION * N) plus the summary's bound check (TRUE by the MG
+    invariant), so the plain GROUP BY oracle checks it value-for-value."""
+    from ..operators.heavy_hitters import mg_frequent_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return mg_frequent_tokens(docs, "text", MG_K, HH_FRACTION)
+
+
+SQL_MG_FREQUENT_TOKENS = f"""
+WITH toks AS ({_DUCK_TOKENS}),
+n AS (SELECT COUNT(*) AS n FROM toks),
+counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY tok)
+SELECT tok AS token, exact_count, TRUE AS mg_bound_ok
+FROM counts, n
+WHERE exact_count >= CAST(FLOOR(CAST({HH_FRACTION!r} AS DOUBLE) * n.n) AS BIGINT)
+ORDER BY exact_count DESC, token
+"""
+
+
 CMS_QUERIES = {
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
+    "mg_frequent_tokens": (q_mg_frequent_tokens, SQL_MG_FREQUENT_TOKENS),
     "stream_batch_parity": (q_stream_batch_parity, _sql_stream_batch_parity()),
     "cms_accuracy_report": (q_cms_accuracy_report, SQL_CMS_ACCURACY_REPORT),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),

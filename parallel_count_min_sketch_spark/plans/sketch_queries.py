@@ -10,7 +10,7 @@ those, by design.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import affine_sql
 from ..operators.sketch_agg import build_sketch
@@ -852,6 +852,90 @@ FROM exact, med
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom runtime semi-join pushdown (operators/joins.py).
+# ---------------------------------------------------------------------------
+BSJ_THRESHOLD = 250  # purchase-value cut defining the small ("dim") side
+BSJ_EXPECTED = 10_000
+BSJ_FPP = 0.01
+BSJ_SEED = 101
+
+
+def _mk_join_bloom():
+    return BloomFilter(BSJ_EXPECTED, BSJ_FPP, seed=BSJ_SEED)
+
+
+def q_bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pushdown over events: small side = users with a
+    purchase over BSJ_THRESHOLD, big side = the full events stream. One
+    scan computes, per event row, the Bloom verdict (Arrow-vectorized
+    probe of the broadcast bits) and the exact match (broadcast join),
+    then folds to integer totals: the one-sided guarantee (n_false_neg
+    must be 0), the false-positive overshoot the exact join removes, and
+    the filter's set-bit count. Every column is integer state the DuckDB
+    oracle replays bit-for-bit from the same affine hash family."""
+    from ..operators.joins import bloom_flag, build_key_bloom
+
+    ev = load(spark, sf_dir, "events")
+    small = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > BSJ_THRESHOLD)
+    ).select("user_id")
+    bf = build_key_bloom(small, "user_id", _mk_join_bloom)
+    flags = bloom_flag(ev.select("user_id"), "user_id", bf)
+    keys = (
+        small.distinct()
+        .select(F.col("user_id").alias("k"))
+        .withColumn("matched", F.lit(True))
+    )
+    joined = flags.join(F.broadcast(keys), flags["user_id"] == keys["k"], "left")
+    is_match = F.coalesce(F.col("matched"), F.lit(False))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(is_match.cast("long")).alias("n_matched"),
+        F.sum((F.col("bloom_pass") & ~is_match).cast("long")).alias("n_false_pos"),
+        F.sum((is_match & ~F.col("bloom_pass")).cast("long")).alias("n_false_neg"),
+        F.lit(int(bf.bits.sum())).cast("long").alias("n_set_bits"),
+    )
+
+
+def _bloom_semijoin_sql() -> str:
+    bf = _mk_join_bloom()
+    ins = " UNION ALL ".join(
+        f"SELECT {affine_sql(int(bf.a[j]), int(bf.b[j]), 'key')} % {bf.m} AS pos FROM small"
+        for j in range(bf.k)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT key, {affine_sql(int(bf.a[j]), int(bf.b[j]), 'key')} % {bf.m} AS pos FROM big_keys"
+        for j in range(bf.k)
+    )
+    return f"""
+WITH small AS (
+  SELECT CAST(user_id AS BIGINT) AS key FROM events
+  WHERE event_type = 'purchase' AND value > {BSJ_THRESHOLD}),
+set_bits AS (SELECT DISTINCT pos FROM ({ins})),
+big_keys AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events
+             WHERE user_id IS NOT NULL),
+probe AS ({probes}),
+member AS (
+  SELECT p.key FROM probe p LEFT JOIN set_bits s ON p.pos = s.pos
+  GROUP BY p.key
+  HAVING COUNT(*) FILTER (WHERE s.pos IS NOT NULL) = {bf.k}),
+skeys AS (SELECT DISTINCT key FROM small)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(COUNT(*) FILTER (WHERE m.key IS NOT NULL) AS BIGINT) AS n_bloom_pass,
+       CAST(COUNT(*) FILTER (WHERE s.key IS NOT NULL) AS BIGINT) AS n_matched,
+       CAST(COUNT(*) FILTER (WHERE m.key IS NOT NULL AND s.key IS NULL) AS BIGINT)
+         AS n_false_pos,
+       CAST(COUNT(*) FILTER (WHERE s.key IS NOT NULL AND m.key IS NULL) AS BIGINT)
+         AS n_false_neg,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM set_bits) AS n_set_bits
+FROM events e
+LEFT JOIN member m ON e.user_id = m.key
+LEFT JOIN skeys s ON e.user_id = s.key
+"""
+
+
 SKETCH_QUERIES = {
     "cms_grouped_by_lang": (q_cms_grouped_by_lang, _sql_cms_grouped()),
     "dyadic_range_query": (q_dyadic_range_query, _sql_dyadic()),
@@ -859,6 +943,7 @@ SKETCH_QUERIES = {
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
+    "bloom_semijoin_stats": (q_bloom_semijoin_stats, _bloom_semijoin_sql()),
     "countsketch_estimates": (q_countsketch_estimates, _cs_estimates_sql()),
     "countsketch_f2": (q_countsketch_f2, _cs_f2_sql()),
     "kmv_distinct": (q_kmv_distinct, _kmv_sql()),
