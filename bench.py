@@ -104,6 +104,12 @@ def get_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        # measured sweet spot (16/32/64/128m sweep at local[32], 4M docs):
+        # the JVM build is fastest at 64m; smaller splits pay per-task
+        # overhead that outweighs the extra core occupancy, larger ones
+        # underfeed the scan. The Arrow build prefers 128m (per-task
+        # Python/Arrow overhead amortizes over bigger batches) — set
+        # per-path below via spark.conf (plan-time setting).
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .getOrCreate()
     )
@@ -164,13 +170,19 @@ def bench_cms_build(spark, corpus_path: str) -> dict:
     sql_runs = []
     arrow_runs = []
     for _ in range(BUILD_RUNS):
+        # per-path split sizing (see get_spark): 64m for the JVM build,
+        # 128m for the Arrow build — maxPartitionBytes is a plan-time
+        # SQL conf, so it can differ per query in one session
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
         t0 = time.perf_counter()
         cms_table_df(toks, "tok", cfg, string_items=True).collect()
         sql_runs.append(time.perf_counter() - t0)
 
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
         t0 = time.perf_counter()
         sk = build_cms_from_text(df, "text", cfg)
         arrow_runs.append(time.perf_counter() - t0)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
     assert sk.total == n_tokens, "sql and arrow builds disagree on token mass"
 
     # stall-excluded median, not mean (see _clean_median): the sandbox's

@@ -45,7 +45,11 @@ toks = df.select(F.explode(F.split("text", " ")).alias("tok")).filter(F.col("tok
 
 res = {{"cpus": cpus, "n_docs": n_docs}}
 # full warmup run per path (JIT, python workers, page faults), then
-# best-of-reps timed — steady-state throughput, like a long-lived cluster
+# best-of-reps timed — steady-state throughput, like a long-lived cluster.
+# Per-path split sizing (measured sweep at local[32], 4M docs): the JVM
+# build is fastest at 64m splits, the Arrow build at 128m — smaller
+# splits pay per-task overhead that outweighs extra core occupancy.
+spark.conf.set("spark.sql.files.maxPartitionBytes", "64m")
 rows = cms_table_df(toks, "tok", cfg, string_items=True).collect()
 res["n_tokens"] = int(sum(r["counter"] for r in rows if r["depth_row"] == 0))
 best = None
@@ -55,6 +59,7 @@ for _ in range({reps}):
     w = time.perf_counter() - t0
     best = w if best is None or w < best else best
 res["sql_sec"] = best
+spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
 build_cms_from_text(df, "text", cfg)
 best = None
 for _ in range({reps}):
@@ -175,6 +180,39 @@ BENCH/spark_submit_levels.json.
 {verdict}"""
 
 
+def _criterion_verdict(by_cpu: dict, thr) -> str:
+    """Data-driven >=0.8 verdict over every measured N -> 4N span — the
+    sentence must match the tables above it, whatever this run measured."""
+    spans = []
+    for n in sorted(by_cpu):
+        if n * 4 not in by_cpu:
+            continue
+        es = thr(by_cpu[n * 4], "sql_sec") / (4 * thr(by_cpu[n], "sql_sec"))
+        ea = thr(by_cpu[n * 4], "arrow_sec") / (4 * thr(by_cpu[n], "arrow_sec"))
+        spans.append((n, es, ea))
+    meets = [s for s in spans if s[1] >= 0.8 and s[2] >= 0.8]
+    partial = [s for s in spans if s not in meets and max(s[1], s[2]) >= 0.8]
+    misses = [s for s in spans if s not in meets and s not in partial]
+    parts = []
+    if meets:
+        parts.append(
+            "The >=0.8 criterion is met on BOTH paths at the "
+            + ", ".join(f"{n} -> {n * 4}" for n, _, _ in meets)
+            + " span(s)")
+    if partial:
+        parts.append(
+            "met on one path at "
+            + ", ".join(f"{n} -> {n * 4} (sql {es:.2f} / arrow {ea:.2f})"
+                        for n, es, ea in partial))
+    if misses:
+        parts.append(
+            "below it at "
+            + ", ".join(f"{n} -> {n * 4} (sql {es:.2f} / arrow {ea:.2f})"
+                        for n, es, ea in misses)
+            + " where the shared memory bus is the binding constraint")
+    return ("; ".join(parts) + ". " if parts else "")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small parallelism level (big = 4n)")
@@ -288,12 +326,14 @@ best MPI config 48.8M items/s on 32 procs (pre-parsed uint32 items). Our items
 are *string tokens* (tokenize + djb2 inside the engine), and the single-VM
 numbers above already exceed the reference's 32-proc cluster throughput.
 
-SQL-vs-Arrow gap attribution (measured at local[32], 4M docs): the full SQL
-build (~4.4 s warm) is FASTER than a bare explode+count over the same token
-stream (~10.9 s) — sketch hashing adds nothing measurable; the residual gap
-to the Arrow kernel is the JVM explode/row-materialization cost of the
-110M-token stream, which the Arrow path replaces with pandas split + numpy
-value counts inside each partition.
+Per-path split sizing (a measured 16/32/64/128m maxPartitionBytes sweep
+at local[32], 4M docs): the JVM build runs fastest on 64 MB scan splits,
+the Arrow build on 128 MB — smaller splits pay per-task overhead
+(scheduler + Python/Arrow round-trip + one 65 KB partial per task) that
+outweighs the extra core occupancy, an 8 MB experiment was 4-10x SLOWER
+on the Arrow path. Each path is benchmarked at its own setting (a
+plan-time SQL conf). At 100 TB the default 128 MB yields ample splits
+and the trade-off disappears.
 
 ## Reference-parity workload (the reference's own benchmark)
 
@@ -303,8 +343,7 @@ Caveat: all local[N] levels share ONE machine's memory bandwidth and
 parquet-decode cache footprint, so high-core spans degrade below the
 embarrassingly-parallel ideal (and the sandbox throttles fresh-page faults
 to ~20 MB/s first touch; see parallel_count_min_sketch_spark/memtune.py).
-The N -> 4N criterion is evidenced at the {args.n} -> {args.n * 4}
-span, where per-core bandwidth is not yet the binding constraint — on a real
+{_criterion_verdict(by_cpu, thr)}On a real
 multi-executor cluster each executor brings its own memory channels, which is
 the regime the >=0.8 criterion describes (the update phase itself is
 embarrassingly parallel: zero cross-partition traffic until the ~65 KB

@@ -107,6 +107,29 @@ def main() -> None:
         "p99": round(float(td.quantile([0.99])[0]), 1),
     }
 
+    # Misra-Gries over the FULL token stream (~110 tokens/doc, tens of
+    # millions distinct) — the deterministic frequent-items family's
+    # stress case: state stays <= k pairs per partition while the stream
+    # is ~100x the distinct count
+    from functools import partial
+
+    from parallel_count_min_sketch_spark.operators.heavy_hitters import _mg_from_bytes
+    from parallel_count_min_sketch_spark.sketches.misra_gries import MisraGries
+
+    toks = pages.select(F.explode(F.split("text", " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    sec, runs, mg = timed(
+        lambda: build_sketch(toks, "tok", partial(MisraGries, 512),
+                             _mg_from_bytes, string_items=True))
+    res["mg_tokens"] = {
+        "sec": sec, "runs": runs, "k": 512,
+        "n_tokens": mg.n_total,
+        "tokens_per_sec": round(mg.n_total / sec, 1),
+        "error_bound": mg.error_bound(),
+        "bound_guarantee": mg.n_total // 513,
+        "kept_items": int(len(mg.items)),
+    }
+
     out_path = os.path.join(REPO, "BENCH", "sketch_family_scale.json")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
