@@ -110,3 +110,53 @@ def test_build_needs_no_distinct(spark):
     bf_dup = build_key_bloom(dup, "key", _mk_sized)
     bf_dis = build_key_bloom(dup.distinct(), "key", _mk_sized)
     assert np.array_equal(bf_dup.bits, bf_dis.bits)
+
+
+def test_jvm_prefilter_matches_arrow_and_kernel(spark, frames):
+    big, small = frames
+    from parallel_count_min_sketch_spark.operators.joins import bloom_prefilter_jvm
+
+    for mk in (_mk_tiny, _mk_sized):
+        bf = build_key_bloom(small, "key", mk)
+        a = sorted(r["row_id"] for r in bloom_prefilter(big, "key", bf).collect())
+        j = sorted(r["row_id"] for r in bloom_prefilter_jvm(big, "key", bf).collect())
+        assert a == j  # bit-identical to the Arrow path (same numpy kernel)
+
+
+def test_jvm_prefilter_negative_and_null_keys(spark):
+    from parallel_count_min_sketch_spark.operators.joins import bloom_prefilter_jvm
+
+    big = spark.createDataFrame(
+        [(1, -37), (2, 10), (3, None), (4, -500)], "row_id LONG, key LONG")
+    small = spark.createDataFrame([(-37,), (10,)], "key LONG")
+    bf = build_key_bloom(small, "key", _mk_sized)
+    got = sorted(r["row_id"] for r in bloom_prefilter_jvm(big, "key", bf).collect())
+    # pmod in the SQL twin matches numpy % on negatives; NULL never passes
+    assert 1 in got and 2 in got and 3 not in got
+
+
+def test_jvm_prefilter_string_keys(spark):
+    from parallel_count_min_sketch_spark.operators.joins import (
+        bloom_prefilter, bloom_prefilter_jvm)
+
+    big = spark.createDataFrame(
+        [(i, f"tok{i % 97}") for i in range(3000)] + [(9999, None)],
+        "row_id LONG, key STRING")
+    small = spark.createDataFrame([(f"tok{k}",) for k in (0, 13, 96)], "key STRING")
+    bf = build_key_bloom(small, "key", _mk_sized, string_keys=True)
+    a = sorted(r["row_id"] for r in bloom_prefilter(big, "key", bf, string_keys=True).collect())
+    j = sorted(r["row_id"] for r in bloom_prefilter_jvm(big, "key", bf, string_keys=True).collect())
+    assert a == j and 9999 not in j
+
+
+def test_auto_prefilter_picks_jvm_within_limit(spark, frames):
+    big, small = frames
+    from parallel_count_min_sketch_spark.operators.joins import (
+        _MAX_JVM_BITS, bloom_prefilter_auto)
+
+    bf = build_key_bloom(small, "key", _mk_sized)
+    assert bf.m <= _MAX_JVM_BITS
+    out = bloom_prefilter_auto(big, "key", bf)
+    # the JVM path is a Filter over codegen'd expressions, not mapInArrow
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan, plan
