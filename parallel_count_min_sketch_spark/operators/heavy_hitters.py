@@ -283,17 +283,20 @@ def mg_frequent_tokens(df, text_col: str, k: int, phi: float) -> DataFrame:
 
     from ..config import djb2_sql_spark
     from ..sketches.misra_gries import MisraGries
-    from .sketch_agg import build_sketch
+    from .sketch_agg import build_sketch_from_text
 
     if k + 1 <= 1.0 / phi:
         raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 1/phi")
     toks = df.select(F.explode(F.split(text_col, " ")).alias("tok")) \
         .filter(F.col("tok") != "")
+    # doc-local build: tokenize + value_counts in Arrow C per batch, MG
+    # consumes (distinct token, count) natively — the Arrow channel moves
+    # documents, not 100x as many exploded token rows (10x measured).
     # partial(MisraGries, k) / the module-level wrapper pickle by
     # REFERENCE; a lambda or bound classmethod would serialize the class
     # by value and trip over the module's struct.Struct constants
-    mg = build_sketch(toks, "tok", partial(MisraGries, k),
-                      _mg_from_bytes, string_items=True)
+    mg = build_sketch_from_text(df, text_col, partial(MisraGries, k),
+                                _mg_from_bytes)
     n = mg.n_total
     thresh = int(phi * n)
     offset = mg.error_bound()

@@ -186,6 +186,59 @@ def build_sketch(df, col: str, make_sketch: Callable, from_bytes: Callable, *,
     return merge_sketch_partials(partials, from_bytes)
 
 
+def text_token_partials(df, text_col: str, make_sketch: Callable, *,
+                        sep: str = " "):
+    """Kernel-generic doc-local token build: tokenize each Arrow batch in
+    Arrow C kernels, collapse to (distinct token, count) with value_counts,
+    djb2 ONCE per distinct token, and feed the kernel through the WEIGHTED
+    protocol — no JVM-side explode, so the Arrow channel moves documents,
+    not 100x as many single-token rows (measured 10x on the Misra-Gries
+    build, BENCH/sketch_family_scale.json). Exact per kernel: 'native'
+    kernels take the counts, 'invariant' ones (distinct/membership) drop
+    them, 'repeat'-mode kernels expand bounded."""
+    import pyarrow.compute as pc
+
+    proj = df.select(text_col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tune_allocator()
+        sk = make_sketch()
+        rows = 0
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            tokens = pc.list_flatten(pc.split_pattern(col, sep))
+            if len(tokens):
+                tokens = pc.filter(tokens, pc.not_equal(tokens, ""))
+            if len(tokens) == 0:
+                continue
+            vc = pc.value_counts(tokens)
+            vals = vc.field("values")
+            counts = vc.field("counts").to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            for lo in range(0, len(vals), _CHUNK):
+                chunk = vals.slice(lo, _CHUNK)
+                w = counts[lo:lo + _CHUNK]
+                rows += _weighted_update(sk, djb2_batch(chunk), w)
+        yield pa.RecordBatch.from_pydict(
+            {
+                "partition_id": [_task_partition_id()],
+                "rows_seen": [rows],
+                "sketch": [sk.to_bytes()],
+            },
+            schema=_PARTIAL_PA,
+        )
+
+    return proj.mapInArrow(fold, PARTIAL_SCHEMA)
+
+
+def build_sketch_from_text(df, text_col: str, make_sketch: Callable,
+                           from_bytes: Callable, *, sep: str = " "):
+    partials = text_token_partials(df, text_col, make_sketch, sep=sep)
+    return merge_sketch_partials(partials, from_bytes)
+
+
 # ---------------------------------------------------------------------------
 # Per-group sketches on the generic rails (one HLL per lang, one KLL per
 # host, ...). Same two-phase, skew-proof shape as operators/agg.cms_grouped:

@@ -114,13 +114,14 @@ def main() -> None:
     from functools import partial
 
     from parallel_count_min_sketch_spark.operators.heavy_hitters import _mg_from_bytes
+    from parallel_count_min_sketch_spark.operators.sketch_agg import (
+        build_sketch_from_text,
+    )
     from parallel_count_min_sketch_spark.sketches.misra_gries import MisraGries
 
-    toks = pages.select(F.explode(F.split("text", " ")).alias("tok")) \
-        .filter(F.col("tok") != "")
     sec, runs, mg = timed(
-        lambda: build_sketch(toks, "tok", partial(MisraGries, 512),
-                             _mg_from_bytes, string_items=True))
+        lambda: build_sketch_from_text(pages, "text", partial(MisraGries, 512),
+                                       _mg_from_bytes))
     res["mg_tokens"] = {
         "sec": sec, "runs": runs, "k": 512,
         "n_tokens": mg.n_total,

@@ -252,3 +252,25 @@ def test_weighted_grouped_hll_equals_exploded(spark, grouped_weighted_df):
          for r in sketch_grouped(exploded, "g", "item", _mk_hll,
                                  _hll_from_bytes).collect()}
     assert w == e  # duplicates invariant for HLL -> identical registers
+
+
+def test_text_build_equals_exploded_build(spark, sf_dir):
+    """build_sketch_from_text (doc-local tokenize + value_counts +
+    weighted update) must produce the same state as the exploded-row
+    build for an order/duplicate-invariant kernel (HLL: register = max)."""
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.operators.sketch_agg import (
+        build_sketch, build_sketch_from_text)
+    from parallel_count_min_sketch_spark.plans.sketch_queries import (
+        _hll_from_bytes, _mk_hll)
+    from parallel_count_min_sketch_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    a = build_sketch_from_text(docs, "text", _mk_hll, _hll_from_bytes)
+    b = build_sketch(toks, "tok", _mk_hll, _hll_from_bytes, string_items=True)
+    assert (a.registers == b.registers).all()
+    # and the weighted path consumed the same token mass as the stream
+    assert a.estimate() == b.estimate()
