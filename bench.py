@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "mg_frequent_tokens",
     "bloom_semijoin_stats",
     "pipeline_clean_corpus",
+    "stratified_sample_docs",
 ]
 
 

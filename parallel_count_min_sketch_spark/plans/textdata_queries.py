@@ -913,9 +913,43 @@ LIMIT {SAMPLE_K}
 """
 
 
+STRAT_K = 20
+STRAT_SEED = 4242
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language balanced sample: exactly STRAT_K docs per lang, the
+    bottom-k by seeded hash (operators/sampling.stratified_hash_sample —
+    bounded two-phase, the one window only ever sees <= partitions *
+    groups * k candidate rows). Deterministic total order, so the oracle
+    replays it with ROW_NUMBER()."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "lang", "doc_id", STRAT_K, STRAT_SEED,
+        payload_cols=["n_chars"],
+    ).orderBy("lang", "sample_h")
+
+
+def _sql_stratified_sample() -> str:
+    from ..config import affine_sql as _affine_sql
+
+    a, b = affine_params(STRAT_SEED, 1)
+    h = _affine_sql(int(a[0]), int(b[0]), "CAST(doc_id AS BIGINT)")
+    return f"""
+WITH h AS (SELECT lang, doc_id, n_chars, {h} AS sample_h FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_h, doc_id) AS rn
+      FROM h)
+SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, sample_h
+FROM r WHERE rn <= {STRAT_K} ORDER BY lang, sample_h
+"""
+
+
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
+    "stratified_sample_docs": (q_stratified_sample_docs, _sql_stratified_sample()),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, _sql_pipeline_clean_corpus()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

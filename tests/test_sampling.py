@@ -1,0 +1,62 @@
+"""Stratified deterministic sampling (operators/sampling.py)."""
+
+from pyspark.sql import Window, functions as F
+
+from parallel_count_min_sketch_spark.config import affine_sql
+from parallel_count_min_sketch_spark.operators.sampling import stratified_hash_sample
+from parallel_count_min_sketch_spark.sketches.hashing import affine_params
+
+
+def _window_answer(df, group_col, key_col, k, seed):
+    a, b = affine_params(seed, 1)
+    h = F.expr(affine_sql(int(a[0]), int(b[0]), f"CAST({key_col} AS BIGINT)"))
+    w = Window.partitionBy(group_col).orderBy("sample_h", key_col)
+    return (
+        df.select(group_col, key_col).withColumn("sample_h", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k).drop("rn")
+    )
+
+
+def _key_set(rows):
+    return sorted((r[0], r[1]) for r in rows)
+
+
+def test_equals_plain_window(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(5000)], "doc_id LONG, grp STRING"
+    ).repartition(8)
+    got = stratified_hash_sample(df, "grp", "doc_id", 10, seed=5)
+    want = _window_answer(df, "grp", "doc_id", 10, seed=5)
+    assert _key_set(got.select("grp", "doc_id").collect()) == \
+        _key_set(want.select("grp", "doc_id").collect())
+    assert got.count() == 70
+
+
+def test_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(2000)], "doc_id LONG, grp STRING")
+    a = _key_set(stratified_hash_sample(df.repartition(1), "grp", "doc_id", 5, 9)
+                 .select("grp", "doc_id").collect())
+    b = _key_set(stratified_hash_sample(df.repartition(13), "grp", "doc_id", 5, 9)
+                 .select("grp", "doc_id").collect())
+    assert a == b and len(a) == 15
+
+
+def test_small_groups_return_all_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id LONG, grp STRING")
+    got = stratified_hash_sample(df, "grp", "doc_id", 10, seed=1)
+    assert got.count() == 3  # groups smaller than k come back whole
+
+
+def test_payload_columns_survive(spark):
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", i * 11) for i in range(100)],
+        "doc_id LONG, grp STRING, size LONG")
+    got = stratified_hash_sample(df, "grp", "doc_id", 4, seed=2,
+                                 payload_cols=["size"])
+    rows = got.collect()
+    assert len(rows) == 8
+    assert all(r["size"] == r["doc_id"] * 11 for r in rows)
+    assert set(got.columns) == {"grp", "doc_id", "size", "sample_h"}
