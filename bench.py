@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "bloom_semijoin_stats",
     "pipeline_clean_corpus",
     "stratified_sample_docs",
+    "vocab_stats",
 ]
 
 

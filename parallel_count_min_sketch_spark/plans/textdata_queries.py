@@ -946,10 +946,53 @@ FROM r WHERE rn <= {STRAT_K} ORDER BY lang, sample_h
 """
 
 
+VOCAB_DF_FRAC = 0.2  # vocabulary cut: tokens present in >= 20% of docs
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics — per-token total occurrences (tf) and
+    document frequency (df) for tokens above a df cut. The scale-right
+    exact-df shape: groupBy(doc_id, tok) first (partial/final agg —
+    docs are partition-local, so the map-side combine collapses each
+    doc's repeats before the shuffle, which then carries one row per
+    (doc, DISTINCT token)); a second bounded groupBy(tok) folds tf/df.
+    No countDistinct and no distinct-universe shuffle stage."""
+    docs = load(spark, sf_dir, "documents")
+    thr = int(VOCAB_DF_FRAC * docs.count())
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    v = dt.groupBy("tok").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
+    return (
+        v.filter(F.col("df") >= thr)
+        .select(F.col("tok").alias("token"), "tf", "df")
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+    )
+
+
+def _sql_vocab_stats() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks WHERE tok <> '' GROUP BY 1, 2),
+v AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS df
+      FROM dt GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tok AS token, tf, df FROM v, n
+WHERE df >= CAST(FLOOR(CAST({VOCAB_DF_FRAC!r} AS DOUBLE) * n.n) AS BIGINT)
+ORDER BY df DESC, tf DESC, token
+"""
+
+
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
     "stratified_sample_docs": (q_stratified_sample_docs, _sql_stratified_sample()),
+    "vocab_stats": (q_vocab_stats, _sql_vocab_stats()),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, _sql_pipeline_clean_corpus()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
