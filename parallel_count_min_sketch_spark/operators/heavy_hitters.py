@@ -324,3 +324,72 @@ def mg_frequent_tokens(df, text_col: str, k: int, phi: float) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "token")
     )
+
+
+def mg_grouped_frequent_tokens(df, group_col: str, text_col: str,
+                               k: int, phi: float) -> DataFrame:
+    """EXACT per-group frequent tokens (threshold floor(phi * N_group))
+    via one Misra-Gries summary per group on the generic grouped rails
+    (sketch_agg.sketch_grouped: bounded per-(partition, group) partials,
+    per-group merge — a hot group never concentrates raw rows).
+
+    Candidates are pruned executor-side by each group's exact error bound
+    (finalize_grouped — zero summary bytes reach the driver), then ONE
+    recount scan joins the broadcast (group, candidate) set and applies
+    each group's own threshold. Output = the exact per-group frequent
+    set, partition-invariant, value-checkable against a per-group
+    GROUP BY oracle."""
+    from functools import partial
+
+    import pyarrow as pa
+
+    from ..config import djb2_sql_spark
+    from ..sketches.misra_gries import MisraGries
+    from .sketch_agg import finalize_grouped, sketch_grouped
+
+    if k + 1 <= 1.0 / phi:
+        raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 1/phi")
+    toks = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    grouped = sketch_grouped(toks, "group", "tok", partial(MisraGries, k),
+                             _mg_from_bytes, string_items=True)
+
+    def emit_candidates(row: dict) -> list[tuple]:
+        mg = MisraGries.from_bytes(row["sketch"])
+        thr = int(phi * mg.n_total)
+        off = mg.error_bound()
+        return [
+            (row["group"], int(it), int(c), int(mg.n_total), int(off))
+            for it, c in zip(mg.items.tolist(), mg.counts.tolist())
+            if c + off >= thr
+        ]
+
+    cand = finalize_grouped(
+        grouped, emit_candidates,
+        "group STRING, item_id LONG, mg_lower LONG, n_g LONG, mg_offset LONG",
+        pa.schema([("group", pa.string()), ("item_id", pa.int64()),
+                   ("mg_lower", pa.int64()), ("n_g", pa.int64()),
+                   ("mg_offset", pa.int64())]),
+    )
+    toks_id = toks.withColumn("item_id", F.expr(djb2_sql_spark("tok")))
+    exact = (
+        toks_id.join(F.broadcast(cand), ["group", "item_id"])
+        .groupBy("group", "tok", "mg_lower", "n_g", "mg_offset")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        exact.filter(
+            F.col("exact_count")
+            >= F.floor(F.lit(float(phi)) * F.col("n_g")).cast("long"))
+        .select(
+            F.col("group").alias(group_col),
+            F.col("tok").alias("token"),
+            "exact_count",
+            ((F.col("mg_lower") <= F.col("exact_count"))
+             & (F.col("exact_count") <= F.col("mg_lower") + F.col("mg_offset")))
+            .alias("mg_bound_ok"),
+        )
+        .orderBy(group_col, F.desc("exact_count"), "token")
+    )

@@ -546,9 +546,37 @@ ORDER BY exact_count DESC, token
 """
 
 
+def q_mg_grouped_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE frequent tokens via one Misra-Gries summary per group
+    on the grouped rails (bounded per-(partition, group) partials;
+    executor-side candidate finalize — zero summary bytes on the driver;
+    one recount scan applying each group's own floor(phi * N_group)
+    threshold). Output = the exact per-group frequent set; the oracle is
+    a per-group GROUP BY."""
+    from ..operators.heavy_hitters import mg_grouped_frequent_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    return mg_grouped_frequent_tokens(docs, "lang", "text", MG_K, HH_FRACTION)
+
+
+SQL_MG_GROUPED_FREQUENT = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM t GROUP BY lang),
+c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM t GROUP BY 1, 2)
+SELECT c.lang, c.tok AS token, c.exact_count, TRUE AS mg_bound_ok
+FROM c JOIN n USING (lang)
+WHERE c.exact_count >= CAST(FLOOR(CAST({HH_FRACTION!r} AS DOUBLE) * n.n_g) AS BIGINT)
+ORDER BY c.lang, c.exact_count DESC, token
+"""
+
+
 CMS_QUERIES = {
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
     "mg_frequent_tokens": (q_mg_frequent_tokens, SQL_MG_FREQUENT_TOKENS),
+    "mg_grouped_frequent": (q_mg_grouped_frequent, SQL_MG_GROUPED_FREQUENT),
     "stream_batch_parity": (q_stream_batch_parity, _sql_stream_batch_parity()),
     "cms_accuracy_report": (q_cms_accuracy_report, SQL_CMS_ACCURACY_REPORT),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),

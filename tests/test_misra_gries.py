@@ -108,3 +108,22 @@ def test_mg_partition_invariance(spark, sf_dir):
     b = mg_frequent_tokens(docs.repartition(7), "text", 512, 0.02).collect()
     assert [(r["token"], r["exact_count"]) for r in a] == \
         [(r["token"], r["exact_count"]) for r in b]
+
+
+def test_mg_grouped_matches_exact(spark, sf_dir):
+    from parallel_count_min_sketch_spark.operators.heavy_hitters import (
+        mg_grouped_frequent_tokens,
+    )
+    from parallel_count_min_sketch_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    got = mg_grouped_frequent_tokens(docs, "lang", "text", 512, 0.02).collect()
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    n_g = {r["lang"]: r["n"] for r in
+           toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c")).collect()
+    want = {(r["lang"], r["tok"]): r["c"] for r in counts
+            if r["c"] >= int(0.02 * n_g[r["lang"]])}
+    assert {(r["lang"], r["token"]): r["exact_count"] for r in got} == want
+    assert all(r["mg_bound_ok"] for r in got)
