@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "pipeline_clean_corpus",
     "stratified_sample_docs",
     "vocab_stats",
+    "asof_last_purchase",
 ]
 
 

@@ -988,6 +988,35 @@ ORDER BY df DESC, tf DESC, token
 """
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join over the event stream: for every click, the
+    value of that user's most recent purchase at or before the click
+    (operators/asof.asof_join — union + one window per key, no range
+    explosion; a BroadcastNestedLoopJoin never appears). The DuckDB
+    oracle replays it with its native ASOF LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, "user_id", "ts", ["value"],
+                    prefix="last_purchase_")
+    return out.select("event_id", "user_id", "last_purchase_value") \
+        .orderBy("event_id")
+
+
+SQL_ASOF_LAST_PURCHASE = """
+SELECT c.event_id, c.user_id, p.value AS last_purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
@@ -1009,6 +1038,7 @@ TEXTDATA_QUERIES = {
     "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),
     "ann_ivf": (q_ann_ivf, _sql_ann_ivf()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
 }
