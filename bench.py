@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "stratified_sample_docs",
     "vocab_stats",
     "asof_last_purchase",
+    "event_sessions",
 ]
 
 

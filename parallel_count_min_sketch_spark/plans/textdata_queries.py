@@ -1017,6 +1017,65 @@ ORDER BY c.event_id
 """
 
 
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with Spark's NATIVE session_window (the Spark-first
+    form — the same operator Structured Streaming uses for streaming
+    session windows), per-user 6h-inactivity-gap sessions with exact
+    integer stats. The DuckDB oracle cross-validates Spark's
+    session-window semantics independently via the classic
+    lag + break-flag + cumulative-sum formulation — two different
+    algorithms, one answer."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "6 hours").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .alias("n_purchases"),
+            F.min("ts").alias("_t0"),
+            F.max("ts").alias("_t1"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return (
+        s.withColumn("session_idx", F.row_number().over(w2))
+        # timestampdiff is timezone-independent on TIMESTAMP_NTZ — exact
+        # integer microseconds, matching the oracle's epoch_us difference
+        .withColumn("duration_us",
+                    F.expr("timestampdiff(MICROSECOND, _t0, _t1)"))
+        .select("user_id", "session_idx", "n_events", "n_purchases",
+                "duration_us")
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SQL_EVENT_SESSIONS = f"""
+WITH l AS (
+  SELECT user_id, ts, event_type, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events),
+f AS (SELECT *, CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) >= {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS brk FROM l),
+s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess FROM f)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
+"""
+
+
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
@@ -1039,6 +1098,7 @@ TEXTDATA_QUERIES = {
     "ann_ivf": (q_ann_ivf, _sql_ann_ivf()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
 }
