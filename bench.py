@@ -27,10 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
-# 7 runs: this sandbox's bursty host stalls (observed 14-119s for an
-# identical warm job minutes apart) can poison 2 of 5 runs, dragging a
-# median; 7 tolerates up to 3 stalled runs.
-BUILD_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "7"))
+# 9 runs: this sandbox's bursty host stalls (observed 14-119s for an
+# identical warm job minutes apart) have poisoned up to 5 of 7 samples
+# in one array; 9 runs + the _stall_free exclusion below keep the median
+# anchored on clean executions.
+BUILD_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
 
 
 def _median(xs: list) -> float:
