@@ -52,7 +52,11 @@ _STALL_FACTOR = 3.0
 
 
 def _stall_free(xs: list) -> list:
-    lo = min(xs)
+    # anchor on the smallest run ABOVE the 3-decimal rounding resolution:
+    # a run rounded to 0.000 must not become the anchor (3 * 0.0 would
+    # exclude every real run and report a 0.000 median)
+    real = [x for x in xs if x >= 0.005]
+    lo = min(real) if real else min(xs)
     return [x for x in xs if x <= _STALL_FACTOR * lo]
 
 

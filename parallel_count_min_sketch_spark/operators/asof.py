@@ -39,8 +39,15 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
     carried = [f"{prefix}{c}" for c in value_cols]
-    r_sel = [F.col(key_col), F.col(ts_col)]
-    r_sel += [F.col(c).alias(f"{prefix}{c}") for c in value_cols]
+    # the carried values travel as ONE struct: a right row's payload is
+    # non-NULL even when every value inside it is NULL, so (a) a matched
+    # row with NULL values yields NULLs (not a stale older value — the
+    # ignorenulls carry must skip only MISSING payloads, never NULL
+    # fields) and (b) multi-column carries can never mix fields from
+    # different right rows (the struct is atomic)
+    r_sel = [F.col(key_col), F.col(ts_col),
+             F.struct(*[F.col(c).alias(f"{prefix}{c}") for c in value_cols])
+             .alias("_asof_payload")]
     if tiebreak_col:
         r_sel.append(F.col(tiebreak_col).alias("_asof_tb"))
     r = right.select(*r_sel).withColumn("_asof_side", F.lit(0))
@@ -58,8 +65,9 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = both
+    out = both.withColumn(
+        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w))
     for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    drop = ["_asof_side"] + (["_asof_tb"] if tiebreak_col else [])
+        out = out.withColumn(c, F.col(f"_asof_payload.{c}"))
+    drop = ["_asof_side", "_asof_payload"] + (["_asof_tb"] if tiebreak_col else [])
     return out.filter(F.col("_asof_side") == 1).drop(*drop)

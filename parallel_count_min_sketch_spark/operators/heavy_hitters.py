@@ -300,6 +300,16 @@ def mg_frequent_tokens(df, text_col: str, k: int, phi: float) -> DataFrame:
     n = mg.n_total
     thresh = int(phi * n)
     offset = mg.error_bound()
+    # runtime certification: any item ABSENT from the summary has true
+    # count <= offset_total, so candidates provably cover the threshold
+    # only when offset_total < thresh. The static k+1 > 1/phi guard does
+    # not cover the floor() boundary (an item at exactly floor(phi*n) can
+    # sit at n/(k+1) and be evicted) — this exact check does. Loud
+    # failure beats a silently incomplete frequent set.
+    if n > 0 and offset >= max(thresh, 1):
+        raise ValueError(
+            f"Misra-Gries k={k} cannot certify threshold {thresh} on this "
+            f"stream (observed decrement bound {offset}); increase k")
     ub = mg.counts + offset
     keep = ub >= thresh
     spark = df.sparkSession
@@ -360,6 +370,12 @@ def mg_grouped_frequent_tokens(df, group_col: str, text_col: str,
         mg = MisraGries.from_bytes(row["sketch"])
         thr = int(phi * mg.n_total)
         off = mg.error_bound()
+        # same certification as the ungrouped path, per group: absent
+        # items have count <= off, so off must sit below the threshold
+        if mg.n_total > 0 and off >= max(thr, 1):
+            raise ValueError(
+                f"Misra-Gries k cannot certify group {row['group']!r}: "
+                f"threshold {thr}, decrement bound {off}; increase k")
         return [
             (row["group"], int(it), int(c), int(mg.n_total), int(off))
             for it, c in zip(mg.items.tolist(), mg.counts.tolist())

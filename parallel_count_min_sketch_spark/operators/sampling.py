@@ -64,7 +64,10 @@ def stratified_hash_sample(df: DataFrame, group_col: str, key_col: str,
         def cut(frames: list):
             merged = pd.concat(frames, ignore_index=True)
             merged = merged.sort_values(["sample_h", key_col], kind="mergesort")
-            return merged.groupby(group_col, sort=False).head(k)
+            # dropna=False: a NULL group is a group — the phase-2 window
+            # and the ROW_NUMBER oracle both keep a NULL partition, so
+            # dropping it here would silently lose those rows
+            return merged.groupby(group_col, sort=False, dropna=False).head(k)
 
         for pdf in pdfs:
             if len(pdf) == 0:

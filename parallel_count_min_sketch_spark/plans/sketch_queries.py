@@ -912,7 +912,8 @@ def _bloom_semijoin_sql() -> str:
     return f"""
 WITH small AS (
   SELECT CAST(user_id AS BIGINT) AS key FROM events
-  WHERE event_type = 'purchase' AND value > {BSJ_THRESHOLD}),
+  WHERE event_type = 'purchase' AND value > {BSJ_THRESHOLD}
+    AND user_id IS NOT NULL),
 set_bits AS (SELECT DISTINCT pos FROM ({ins})),
 big_keys AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events
              WHERE user_id IS NOT NULL),

@@ -958,7 +958,6 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, DISTINCT token)); a second bounded groupBy(tok) folds tf/df.
     No countDistinct and no distinct-universe shuffle stage."""
     docs = load(spark, sf_dir, "documents")
-    thr = int(VOCAB_DF_FRAC * docs.count())
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -966,8 +965,14 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     v = dt.groupBy("tok").agg(
         F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
+    # the df cut stays IN the plan (broadcast one-row count, like the
+    # oracle's n CTE) — no eager driver-side count() job per invocation
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        v.filter(F.col("df") >= thr)
+        v.crossJoin(F.broadcast(n))
+        .filter(F.col("df")
+                >= F.floor(F.lit(float(VOCAB_DF_FRAC)) * F.col("_n"))
+                .cast("long"))
         .select(F.col("tok").alias("token"), "tf", "df")
         .orderBy(F.desc("df"), F.desc("tf"), "token")
     )

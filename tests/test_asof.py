@@ -66,3 +66,17 @@ def test_no_nested_loop_join_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_null_right_values_not_stale_carried(spark):
+    # the as-of match has NULL values -> output must be NULL, never an
+    # older row's value; multi-column carries must stay row-atomic
+    right = spark.createDataFrame(
+        [("A", _ts("2026-01-01T10:00:01"), 5.0, 50.0),
+         ("A", _ts("2026-01-01T10:00:02"), None, 70.0)],
+        "k STRING, ts TIMESTAMP, px DOUBLE, qty DOUBLE")
+    left = spark.createDataFrame(
+        [(1, "A", _ts("2026-01-01T10:00:03"))], "id LONG, k STRING, ts TIMESTAMP")
+    row = asof_join(left, right, "k", "ts", ["px", "qty"]).collect()[0]
+    assert row["asof_px"] is None       # NOT 5.0 from the older row
+    assert row["asof_qty"] == 70.0      # same right row as px

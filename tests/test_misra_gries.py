@@ -127,3 +127,17 @@ def test_mg_grouped_matches_exact(spark, sf_dir):
             if r["c"] >= int(0.02 * n_g[r["lang"]])}
     assert {(r["lang"], r["token"]): r["exact_count"] for r in got} == want
     assert all(r["mg_bound_ok"] for r in got)
+
+
+def test_uncertifiable_threshold_raises(spark):
+    # k=2, phi=0.334 passes the static k+1 > 1/phi guard (3 > 2.994), but
+    # on this stream the summary ends EMPTY with decrement bound 3 ==
+    # floor(phi*10): items a/b/c (count 3) are absent yet meet the
+    # threshold. The runtime certification must raise, never return a
+    # silently incomplete frequent set.
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a a a b b b c c c d")],
+                               "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="certify"):
+        mg_frequent_tokens(df, "text", 2, 0.334)

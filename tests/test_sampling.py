@@ -60,3 +60,16 @@ def test_payload_columns_survive(spark):
     assert len(rows) == 8
     assert all(r["size"] == r["doc_id"] * 11 for r in rows)
     assert set(got.columns) == {"grp", "doc_id", "size", "sample_h"}
+
+
+def test_null_group_is_kept(spark):
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 else None) for i in range(200)],
+        "doc_id LONG, grp STRING")
+    got = stratified_hash_sample(df, "grp", "doc_id", 7, seed=3)
+    by_grp = {}
+    for r in got.collect():
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    # NULL is a group: both partitions return exactly k rows
+    assert len(by_grp.get(None, [])) == 7
+    assert len(by_grp.get("g", [])) == 7
