@@ -355,7 +355,7 @@ def mg_grouped_frequent_tokens(df, group_col: str, text_col: str,
 
     from ..config import djb2_sql_spark
     from ..sketches.misra_gries import MisraGries
-    from .sketch_agg import finalize_grouped, sketch_grouped
+    from .sketch_agg import finalize_grouped, sketch_grouped_from_text
 
     if k + 1 <= 1.0 / phi:
         raise ValueError(f"k={k} too small for phi={phi}: need k+1 > 1/phi")
@@ -363,8 +363,12 @@ def mg_grouped_frequent_tokens(df, group_col: str, text_col: str,
         F.col(group_col).alias("group"),
         F.explode(F.split(text_col, " ")).alias("tok"),
     ).filter(F.col("tok") != "")
-    grouped = sketch_grouped(toks, "group", "tok", partial(MisraGries, k),
-                             _mg_from_bytes, string_items=True)
+    # doc-local grouped build: the summary scan moves (group, document)
+    # rows through Arrow, never the exploded token stream (the exploded
+    # `toks` DF above only feeds the candidate-bounded recount join)
+    grouped = sketch_grouped_from_text(
+        df.select(F.col(group_col).alias("group"), text_col),
+        "group", text_col, partial(MisraGries, k), _mg_from_bytes)
 
     def emit_candidates(row: dict) -> list[tuple]:
         mg = MisraGries.from_bytes(row["sketch"])

@@ -302,15 +302,9 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
     return proj.mapInArrow(fold, GROUPED_SCHEMA)
 
 
-def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
-                   from_bytes: Callable, *, string_items: bool = False,
-                   as_float: bool = False, weight_col: str | None = None):
-    """DataFrame[group, rows_seen, sketch]: one merged sketch per group.
-    ``weight_col`` feeds pre-aggregated (group, item, count) inputs through
-    the per-kernel WEIGHTED dispatch (``_weighted_update``)."""
-    partials = sketch_grouped_partials(df, group_col, col, make_sketch,
-                                       string_items=string_items,
-                                       as_float=as_float, weight_col=weight_col)
+def merge_grouped_partials(partials, from_bytes: Callable):
+    """Phase 2 of every grouped build: shuffle only the small
+    (partition, group) partial rows and merge per group."""
 
     def merge_group(pdf):
         import pandas as pd
@@ -328,6 +322,88 @@ def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
         )
 
     return partials.groupBy("group").applyInPandas(merge_group, GROUPED_SCHEMA)
+
+
+def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
+                   from_bytes: Callable, *, string_items: bool = False,
+                   as_float: bool = False, weight_col: str | None = None):
+    """DataFrame[group, rows_seen, sketch]: one merged sketch per group.
+    ``weight_col`` feeds pre-aggregated (group, item, count) inputs through
+    the per-kernel WEIGHTED dispatch (``_weighted_update``)."""
+    partials = sketch_grouped_partials(df, group_col, col, make_sketch,
+                                       string_items=string_items,
+                                       as_float=as_float, weight_col=weight_col)
+    return merge_grouped_partials(partials, from_bytes)
+
+
+def text_token_grouped_partials(df, group_col: str, text_col: str,
+                                make_sketch: Callable, *, sep: str = " "):
+    """Doc-local GROUPED token build: one partial sketch per
+    (partition, group) over a text column, tokenizing inside Arrow C
+    kernels — the grouped sibling of :func:`text_token_partials`. The
+    Arrow channel moves (group, document) rows, never the exploded token
+    stream; per batch each group's texts are segmented once
+    (dictionary-coded argsort via ``iter_group_segments``), tokenized,
+    collapsed with value_counts, djb2-hashed once per distinct token and
+    fed through the WEIGHTED protocol."""
+    import pyarrow.compute as pc
+
+    proj = df.select(group_col, text_col)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .agg import iter_group_segments
+
+        tune_allocator()
+        sketches: dict[str, object] = {}
+        counts: dict[str, int] = {}
+        for batch in batches:
+            if batch.column(0).null_count or batch.column(1).null_count:
+                keep = pc.and_(batch.column(0).is_valid(),
+                               batch.column(1).is_valid())
+                batch = batch.filter(keep)
+            if batch.num_rows == 0:
+                continue
+            text = batch.column(1)
+            row_idx = np.arange(batch.num_rows, dtype=np.int64)
+            for g, seg_idx, _w in iter_group_segments(batch, row_idx):
+                texts = pc.take(text, pa.array(seg_idx, type=pa.int64()))
+                tokens = pc.list_flatten(pc.split_pattern(texts, sep))
+                if len(tokens):
+                    tokens = pc.filter(tokens, pc.not_equal(tokens, ""))
+                if len(tokens) == 0:
+                    continue
+                vc = pc.value_counts(tokens)
+                vals = vc.field("values")
+                w = vc.field("counts").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False)
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = make_sketch()
+                    sketches[g] = sk
+                    counts[g] = 0
+                for lo in range(0, len(vals), _CHUNK):
+                    counts[g] += _weighted_update(
+                        sk, djb2_batch(vals.slice(lo, _CHUNK)),
+                        w[lo:lo + _CHUNK])
+        if sketches:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "group": list(sketches.keys()),
+                    "rows_seen": [counts[g] for g in sketches],
+                    "sketch": [sketches[g].to_bytes() for g in sketches],
+                },
+                schema=_GROUPED_PA,
+            )
+
+    return proj.mapInArrow(fold, GROUPED_SCHEMA)
+
+
+def sketch_grouped_from_text(df, group_col: str, text_col: str,
+                             make_sketch: Callable, from_bytes: Callable, *,
+                             sep: str = " "):
+    partials = text_token_grouped_partials(df, group_col, text_col,
+                                           make_sketch, sep=sep)
+    return merge_grouped_partials(partials, from_bytes)
 
 
 def finalize_grouped(grouped_df, finalize_fn, out_schema: str,

@@ -274,3 +274,32 @@ def test_text_build_equals_exploded_build(spark, sf_dir):
     assert (a.registers == b.registers).all()
     # and the weighted path consumed the same token mass as the stream
     assert a.estimate() == b.estimate()
+
+
+def test_grouped_text_build_equals_exploded_grouped(spark, sf_dir):
+    """sketch_grouped_from_text must match sketch_grouped over the
+    exploded (group, token) stream for an order-invariant kernel (HLL)."""
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.operators.sketch_agg import (
+        sketch_grouped, sketch_grouped_from_text)
+    from parallel_count_min_sketch_spark.plans.sketch_queries import (
+        _hll_from_bytes, _mk_hll)
+    from parallel_count_min_sketch_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok")) \
+        .filter(F.col("tok") != "")
+    a = {r["group"]: (r["rows_seen"], bytes(r["sketch"]))
+         for r in sketch_grouped_from_text(
+             docs.select(F.col("lang").alias("group"), "text"),
+             "group", "text", _mk_hll, _hll_from_bytes).collect()}
+    b = {r["group"]: (r["rows_seen"], bytes(r["sketch"]))
+         for r in sketch_grouped(toks, "lang", "tok", _mk_hll,
+                                 _hll_from_bytes, string_items=True).collect()}
+    assert set(a) == set(b) and len(a) >= 2
+    for g in a:
+        assert a[g][0] == b[g][0]  # same token mass per group
+        ra = _hll_from_bytes(a[g][1]).registers
+        rb = _hll_from_bytes(b[g][1]).registers
+        assert (ra == rb).all()
