@@ -84,3 +84,64 @@ def stateful_grouped_cms(stream_df, group_col: str, text_col: str, cfg: CMSConfi
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stateful_grouped_sketch(stream_df, group_col: str, text_col: str,
+                            make_sketch, from_bytes):
+    """Kernel-generic sibling of :func:`stateful_grouped_cms`: one
+    mergeable sketch of ANY family (Misra-Gries frequent items, HLL
+    distinct, KLL quantiles, ...) per group in Spark's keyed state store.
+    Each trigger tokenizes the group's new rows doc-locally (Arrow C
+    kernels + value_counts, same hot path as the batch builds), feeds the
+    kernel through its WEIGHTED protocol, and emits the updated state.
+    ``make_sketch`` / ``from_bytes`` must pickle by reference (partials /
+    module-level wrappers, same rule as the batch rails)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch_agg import _weighted_update
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        from ..memtune import tune_allocator
+
+        tune_allocator()
+        if state.exists:
+            (blob,) = state.get
+            sk = from_bytes(bytes(blob))
+        else:
+            sk = make_sketch()
+        rows = 0
+        for pdf in pdfs:
+            texts = pdf[text_col].dropna()
+            if len(texts):
+                import numpy as np
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                tokens = pc.list_flatten(
+                    pc.split_pattern(pa.array(texts, type=pa.string()), " ")
+                )
+                if len(tokens):
+                    tokens = pc.filter(tokens, pc.not_equal(tokens, ""))
+                if len(tokens):
+                    vc = pc.value_counts(tokens)
+                    w = vc.field("counts").to_numpy(zero_copy_only=False) \
+                        .astype(np.int64, copy=False)
+                    rows += _weighted_update(
+                        sk, djb2_batch(vc.field("values")), w)
+        state.update((sk.to_bytes(),))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "rows_in_batch": [rows],
+                "total_mass": [getattr(sk, "n_total", rows)],
+                "sketch": [sk.to_bytes()],
+            }
+        )
+
+    return (
+        stream_df.groupBy(group_col)
+        .applyInPandasWithState(
+            update, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
