@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "vocab_stats",
     "asof_last_purchase",
     "event_sessions",
+    "cms_time_rollup",
 ]
 
 

@@ -1,0 +1,103 @@
+"""Time-bucketed CMS rollup: the materialized-rollup / hypertable pattern.
+
+At 100 TB an events table is append-only and time-partitioned; rebuilding a
+sketch per ad-hoc time-range query would rescan the corpus every time.
+Instead we materialize ONE small CMS per time bucket (day) — a rollup table
+of KB-sized blobs, built in a single scan on the grouped two-phase rails
+(operators/agg.cms_grouped) — and answer any [lo, hi] range query by
+merging just the covered bucket sketches. CMS is linear in its input
+multiset (counters are sums), so the merge of per-day sketches is
+BIT-IDENTICAL to a sketch built directly over the date-filtered rows —
+the same element-wise merge the reference uses across MPI ranks
+(reference: src/mpi/mpiV2.c:163-175), applied across time partitions
+instead of ranks. Build cost amortizes across every future range query;
+query cost is O(n_buckets) KB-blobs, independent of corpus size.
+
+In production the bucket DataFrame would be written once as a parquet
+rollup table partitioned by bucket (operators/checkpoint.py handles blob
+persistence); bucket-range predicates then prune partitions at scan time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CMSConfig
+from ..sketches.cms import CountMinSketch
+from .agg import cms_grouped, merge_partials
+from .sketch_agg import merge_sketch_partials, sketch_grouped
+
+ROLLUP_SCHEMA = "bucket STRING, rows_seen LONG, total LONG, sketch BINARY"
+
+
+def _day_bucket(df: DataFrame, ts_col: str) -> DataFrame:
+    """TIMESTAMP_NTZ-safe calendar-day bucket key: cast to DATE then
+    STRING — timezone-independent and replayable as DuckDB's
+    CAST(ts AS DATE). ISO date strings sort lexicographically in
+    chronological order, so bucket-range predicates are plain string
+    comparisons (and partition-prunable when the rollup table is written
+    partitioned by bucket)."""
+    return df.withColumn("__bucket", F.col(ts_col).cast("date").cast("string"))
+
+
+def cms_time_buckets(df, ts_col: str, item_col: str, cfg: CMSConfig, *,
+                     string_items: bool = False) -> DataFrame:
+    """DataFrame[bucket, rows_seen, total, sketch]: one merged CMS per
+    calendar day of ``ts_col`` (TIMESTAMP_NTZ-safe: cast to DATE then
+    STRING, timezone-independent and replayable as DuckDB's
+    CAST(ts AS DATE)). Rows with a NULL timestamp or NULL item are
+    dropped, mirroring the grouped rails' NULL policy."""
+    out = cms_grouped(_day_bucket(df, ts_col), "__bucket", item_col, cfg,
+                      string_items=string_items)
+    return (
+        out.withColumnRenamed("group", "bucket")
+    )
+
+
+def cms_rollup_range(buckets_df: DataFrame, lo: str, hi: str,
+                     cfg: CMSConfig) -> CountMinSketch:
+    """Merge the bucket sketches with ``lo <= bucket <= hi`` (ISO date
+    strings — lexicographic order IS chronological order) into one CMS via
+    the bounded tree merge. An empty range yields the zero sketch of the
+    same config. The caller should persist ``buckets_df`` when issuing
+    several range queries against one rollup build."""
+    sel = buckets_df.filter(
+        (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi))
+    )
+    if sel.isEmpty():
+        return cfg.new_sketch()
+    return merge_partials(sel, cfg)
+
+
+def sketch_time_buckets(df: DataFrame, ts_col: str, item_col: str,
+                        make_sketch: Callable, from_bytes: Callable, *,
+                        string_items: bool = False,
+                        as_float: bool = False) -> DataFrame:
+    """Kernel-generic time-bucket rollup on the grouped rails: one merged
+    sketch per calendar day of ``ts_col`` for ANY kernel implementing the
+    update_batch/merge/to_bytes protocol — per-day HLLs (distinct users
+    per day), Blooms, KLLs ride the same two-phase shape as the CMS
+    rollup. Returns DataFrame[bucket, rows_seen, sketch]."""
+    out = sketch_grouped(_day_bucket(df, ts_col), "__bucket", item_col,
+                         make_sketch, from_bytes,
+                         string_items=string_items, as_float=as_float)
+    return out.withColumnRenamed("group", "bucket")
+
+
+def sketch_rollup_range(buckets_df: DataFrame, lo: str, hi: str,
+                        make_sketch: Callable, from_bytes: Callable):
+    """Merge the bucket sketches with ``lo <= bucket <= hi`` into one
+    sketch via the associative tree merge — the kernel-generic sibling of
+    :func:`cms_rollup_range`. Sum-merge kernels (CMS) give a sketch
+    bit-identical to a direct build over the range; idempotent merges
+    (HLL max, Bloom OR) give the EXACT same state a direct build would
+    because day buckets partition the rows (each row lands in exactly one
+    bucket). An empty range yields ``make_sketch()`` untouched."""
+    sel = buckets_df.filter(
+        (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi))
+    )
+    if sel.isEmpty():
+        return make_sketch()
+    return merge_sketch_partials(sel, from_bytes)

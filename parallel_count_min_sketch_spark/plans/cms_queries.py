@@ -573,7 +573,74 @@ ORDER BY c.lang, c.exact_count DESC, token
 """
 
 
+ROLLUP_CFG = CMSConfig(epsilon=0.005, delta=0.1, seed=2024)  # 3 x 544 per day
+ROLLUP_LO, ROLLUP_HI = "2024-01-08", "2024-01-21"  # 14 of the 30 fixture days
+ROLLUP_PROBES = [0, 1, 2, 7, 49, 999_983]  # present + absent user ids
+
+
+def q_cms_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed sketch rollup (operators/rollup.py): one CMS per DAY of
+    events.user_id built in a single scan on the grouped rails, then a
+    [2024-01-08, 2024-01-21] range query answered by merging ONLY the 14
+    covered KB-sized bucket sketches — never rescanning the events rows.
+    CMS linearity makes the merged sketch bit-identical to a direct build
+    over the date-filtered rows (tested in test_rollup.py), so the DuckDB
+    oracle replays the estimates exactly from the filtered rows. This is
+    the materialized-rollup pattern a 100-TB time-series store relies on:
+    query cost scales with days covered, not corpus size."""
+    import numpy as np
+
+    from ..operators.rollup import cms_rollup_range, cms_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    buckets = cms_time_buckets(ev, "ts", "user_id", ROLLUP_CFG).persist()
+    try:
+        sel_days = int(
+            buckets.filter(
+                (F.col("bucket") >= ROLLUP_LO) & (F.col("bucket") <= ROLLUP_HI)
+            ).count()
+        )
+        sk = cms_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI, ROLLUP_CFG)
+    finally:
+        buckets.unpersist()
+    probes = np.array(ROLLUP_PROBES, dtype=np.int64)
+    ests = sk.point_query(probes)
+    rows = [
+        (int(u), int(e), sel_days, int(sk.total))
+        for u, e in zip(ROLLUP_PROBES, ests)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, est BIGINT, n_buckets BIGINT, range_events BIGINT"
+    ).orderBy("user_id")
+
+
+def _sql_cms_time_rollup() -> str:
+    probe_vals = ", ".join(f"({u})" for u in ROLLUP_PROBES)
+    in_range = (
+        f"CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}' "
+        "AND ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    return f"""
+WITH ids AS (SELECT user_id AS item_id FROM events WHERE {in_range}),
+probes AS (SELECT CAST(v AS BIGINT) AS item, CAST(v AS BIGINT) AS item_id
+           FROM (VALUES {probe_vals}) t(v)),
+buckets AS ({_duck_buckets_cte('item_id', ROLLUP_CFG)}),
+probe_buckets AS ({_duck_probe_buckets(ROLLUP_CFG)}),
+meta AS (
+  SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_buckets,
+         CAST(COUNT(*) AS BIGINT) AS range_events
+  FROM events WHERE {in_range}
+)
+SELECT p.item AS user_id, CAST(MIN(COALESCE(b.counter, 0)) AS BIGINT) AS est,
+       CAST(MAX(m.n_buckets) AS BIGINT) AS n_buckets,
+       CAST(MAX(m.range_events) AS BIGINT) AS range_events
+FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket), meta m
+GROUP BY p.item ORDER BY p.item
+"""
+
+
 CMS_QUERIES = {
+    "cms_time_rollup": (q_cms_time_rollup, _sql_cms_time_rollup()),
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
     "mg_frequent_tokens": (q_mg_frequent_tokens, SQL_MG_FREQUENT_TOKENS),
     "mg_grouped_frequent": (q_mg_grouped_frequent, SQL_MG_GROUPED_FREQUENT),

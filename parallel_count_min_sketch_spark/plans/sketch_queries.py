@@ -163,6 +163,112 @@ FROM est, exact
 """
 
 
+def q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-over-a-date-range from a materialized per-day HLL
+    rollup (operators/rollup.sketch_time_buckets): the union-merge
+    counterpart of cms_time_rollup. Day buckets partition the event rows,
+    and HLL's register-max merge is idempotent, so merging ONLY the
+    covered KB-sized day sketches yields EXACTLY the registers of a
+    direct build over the date-filtered rows (tested bit-equal in
+    test_rollup.py) — the DuckDB oracle therefore replays the estimator
+    from the filtered rows. Query cost scales with days covered, not
+    corpus size; per-day distinct-user sketches answer any range's
+    unique-visitor question without rescanning — the second pillar
+    (COUNT DISTINCT) of a hypertable rollup store next to the CMS's
+    frequency pillar."""
+    import math
+
+    from .cms_queries import ROLLUP_HI, ROLLUP_LO
+    from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_hll,
+                                  _hll_from_bytes).persist()
+    try:
+        n_buckets = int(
+            buckets.filter(
+                (F.col("bucket") >= ROLLUP_LO) & (F.col("bucket") <= ROLLUP_HI)
+            ).count()
+        )
+        sk = sketch_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI, _mk_hll,
+                                 _hll_from_bytes)
+    finally:
+        buckets.unpersist()
+    exact = (
+        ev.filter(
+            (F.col("ts").cast("date").cast("string") >= ROLLUP_LO)
+            & (F.col("ts").cast("date").cast("string") <= ROLLUP_HI)
+            & F.col("user_id").isNotNull()
+        )
+        .select("user_id").distinct().count()
+    )
+    s, v, est = sk.estimate_portable()
+    thr = 5 * (1.04 / math.sqrt(sk.m))
+    ok = exact > 0 and abs(est - float(exact)) / float(exact) < thr
+    return spark.createDataFrame(
+        [(n_buckets, int(exact), int(v), int(s), int(math.floor(est)), bool(ok))],
+        "n_buckets BIGINT, exact_distinct BIGINT, zero_registers BIGINT, "
+        "scaled_inverse_sum BIGINT, est_floor BIGINT, within_bound BOOLEAN",
+    )
+
+
+def _hll_time_rollup_sql() -> str:
+    import math
+
+    from .cms_queries import ROLLUP_HI, ROLLUP_LO
+    from ..sketches.hll import HLL_SCALE_BITS, _alpha
+
+    hll = _mk_hll()
+    m = hll.m
+    a, b = hll.a, hll.b
+    h1 = affine_sql(int(a[0]), int(b[0]), "item_id")
+    h2 = affine_sql(int(a[1]), int(b[1]), "item_id")
+    alpha = _alpha(m)
+    scale = float(1 << HLL_SCALE_BITS)
+    thr = 5 * (1.04 / math.sqrt(m))
+    raw = f"(CAST({alpha!r} AS DOUBLE) * {m * m} * CAST({scale!r} AS DOUBLE) / s)"
+    in_range = (
+        f"CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}' "
+        "AND ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    return f"""
+WITH ids AS (SELECT CAST(user_id AS BIGINT) AS item_id, CAST(ts AS DATE) AS d
+             FROM events WHERE {in_range}),
+hashed AS (SELECT {h1} AS h1, {h2} AS h2 FROM ids),
+regs AS (
+  SELECT h1 % {m} AS bucket,
+         CASE WHEN h2 = 0 THEN 32
+              ELSE CAST(log2(h2 & -h2) AS BIGINT) + 1 END AS rho
+  FROM hashed
+),
+reg_table AS (SELECT bucket, MAX(rho) AS register FROM regs GROUP BY bucket),
+stats AS (
+  SELECT CAST({m} - COUNT(*) AS BIGINT) AS v,
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register)), 0)
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS BIGINT) AS s
+  FROM reg_table
+),
+meta AS (
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_buckets,
+         CAST(COUNT(DISTINCT item_id) AS BIGINT) AS exact_distinct
+  FROM ids
+),
+est AS (
+  SELECT s, v,
+         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
+              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / v)
+              ELSE {raw} END AS e
+  FROM stats
+)
+SELECT meta.n_buckets, meta.exact_distinct, est.v AS zero_registers,
+       est.s AS scaled_inverse_sum, CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
+       (meta.exact_distinct > 0 AND
+        abs(est.e - meta.exact_distinct) / meta.exact_distinct
+        < CAST({thr!r} AS DOUBLE)) AS within_bound
+FROM est, meta
+"""
+
+
 def _mk_bloom():
     return BloomFilter(BLOOM_EXPECTED, BLOOM_FPP, seed=BLOOM_SEED)
 
@@ -943,6 +1049,7 @@ SKETCH_QUERIES = {
     "hll_registers": (q_hll_registers, _hll_sql()),
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
+    "hll_time_rollup": (q_hll_time_rollup, _hll_time_rollup_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
     "bloom_semijoin_stats": (q_bloom_semijoin_stats, _bloom_semijoin_sql()),
     "countsketch_estimates": (q_countsketch_estimates, _cs_estimates_sql()),

@@ -1,0 +1,123 @@
+"""Time-bucketed CMS rollup: linearity, boundaries, partition invariance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_count_min_sketch_spark.config import CMSConfig
+from parallel_count_min_sketch_spark.operators.agg import build_cms
+from parallel_count_min_sketch_spark.operators.rollup import (
+    cms_rollup_range,
+    cms_time_buckets,
+)
+
+CFG = CMSConfig(epsilon=0.01, delta=0.1, seed=7)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_rollup_range_merge_equals_direct_build(spark, events):
+    """CMS linearity: merging the per-day bucket sketches over [lo, hi] is
+    BIT-IDENTICAL to one sketch built directly over the date-filtered rows
+    — the property that lets a rollup table answer range queries without
+    rescanning the corpus."""
+    lo, hi = "2024-01-05", "2024-01-12"
+    buckets = cms_time_buckets(events, "ts", "user_id", CFG)
+    merged = cms_rollup_range(buckets, lo, hi, CFG)
+
+    direct_rows = events.filter(
+        (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(hi).cast("date"))
+    )
+    direct = build_cms(direct_rows, "user_id", CFG)
+    assert merged.to_bytes() == direct.to_bytes()
+    assert merged.total == direct_rows.count()
+
+
+def test_rollup_boundaries_inclusive(spark, events):
+    """Single-day range == exactly that day's bucket sketch."""
+    buckets = cms_time_buckets(events, "ts", "user_id", CFG)
+    day = "2024-01-03"
+    one = cms_rollup_range(buckets, day, day, CFG)
+    row = buckets.filter(F.col("bucket") == day).collect()
+    assert len(row) == 1
+    assert bytes(row[0]["sketch"]) == one.to_bytes()
+
+
+def test_rollup_empty_range_is_zero_sketch(spark, events):
+    buckets = cms_time_buckets(events, "ts", "user_id", CFG)
+    sk = cms_rollup_range(buckets, "1999-01-01", "1999-12-31", CFG)
+    assert sk.total == 0
+    assert sk.to_bytes() == CFG.new_sketch().to_bytes()
+
+
+def test_rollup_partition_invariant(spark, events):
+    """Same bytes whatever the input partitioning (counter addition is
+    commutative and associative)."""
+    lo, hi = "2024-01-02", "2024-01-20"
+    a = cms_rollup_range(
+        cms_time_buckets(events.repartition(1), "ts", "user_id", CFG), lo, hi, CFG)
+    b = cms_rollup_range(
+        cms_time_buckets(events.repartition(13), "ts", "user_id", CFG), lo, hi, CFG)
+    assert a.to_bytes() == b.to_bytes()
+
+
+def test_generic_rollup_hll_union_equals_direct_build(spark, events):
+    """Idempotent-merge kernels on the generic rails: day buckets
+    partition the rows, and HLL's register-max merge is idempotent, so
+    the merged range rollup carries EXACTLY the registers of a direct
+    build over the filtered rows."""
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        sketch_rollup_range,
+        sketch_time_buckets,
+    )
+    from parallel_count_min_sketch_spark.operators.sketch_agg import build_sketch
+
+    # closures (pickled by value): a bound classmethod would drag the
+    # module-level struct.Struct constants into cloudpickle, and a
+    # test-module function isn't importable on executors
+    def mk():
+        from parallel_count_min_sketch_spark.sketches.hll import HyperLogLog
+
+        return HyperLogLog(10, 33)
+
+    def fb(b):
+        from parallel_count_min_sketch_spark.sketches.hll import HyperLogLog
+
+        return HyperLogLog.from_bytes(b)
+
+    lo, hi = "2024-01-05", "2024-01-12"
+    buckets = sketch_time_buckets(events, "ts", "user_id", mk, fb)
+    merged = sketch_rollup_range(buckets, lo, hi, mk, fb)
+    direct_rows = events.filter(
+        (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(hi).cast("date"))
+    )
+    direct = build_sketch(direct_rows, "user_id", mk, fb)
+    assert merged.to_bytes() == direct.to_bytes()
+
+    empty = sketch_rollup_range(buckets, "1999-01-01", "1999-12-31", mk, fb)
+    assert empty.to_bytes() == mk().to_bytes()
+
+
+def test_rollup_estimates_one_sided(spark, events):
+    """Point estimates from the merged range sketch keep the CMS one-sided
+    guarantee vs exact filtered counts."""
+    lo, hi = "2024-01-05", "2024-01-12"
+    buckets = cms_time_buckets(events, "ts", "user_id", CFG)
+    sk = cms_rollup_range(buckets, lo, hi, CFG)
+    exact = {
+        r["user_id"]: r["c"]
+        for r in events.filter(
+            (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+            & (F.col("ts").cast("date") <= F.lit(hi).cast("date"))
+        ).groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    users = np.array(sorted(exact), dtype=np.int64)
+    ests = sk.point_query(users)
+    for u, e in zip(users, ests):
+        assert e >= exact[int(u)]
+        assert e - exact[int(u)] <= CFG.epsilon * sk.total
