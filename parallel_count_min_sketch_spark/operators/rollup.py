@@ -101,3 +101,29 @@ def sketch_rollup_range(buckets_df: DataFrame, lo: str, hi: str,
     if sel.isEmpty():
         return make_sketch()
     return merge_sketch_partials(sel, from_bytes)
+
+
+def write_rollup(buckets_df: DataFrame, path: str) -> None:
+    """Persist a bucket-sketch table as parquet PARTITIONED BY bucket —
+    the durable form of the rollup store. One day = one partition
+    directory holding one KB-sized blob row, so a later range query's
+    ``bucket BETWEEN lo AND hi`` predicate is a partition filter: Spark
+    lists and reads ONLY the covered day directories (partition pruning,
+    asserted in test_rollup.py), never the corpus and never the other
+    days. ``mode('append')`` makes incremental daily refresh the natural
+    write pattern — append today's bucket, nothing else is touched."""
+    buckets_df.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def read_rollup(spark, path: str) -> DataFrame:
+    """Read a persisted rollup store back into the same
+    [bucket, rows_seen, ..., sketch] shape the range-merge functions
+    take. ``bucket`` comes back as a partition column — Spark's partition
+    type inference reads ISO dates as DATE, so cast back to the STRING
+    key the merge filters compare on (lossless for ISO dates; the cast
+    composes with pruning because it sits above the partition filter).
+    Duplicate blobs from incremental appends of the SAME day remain
+    separate rows, which the range merges fold correctly: sketch merges
+    are associative (sum) or idempotent (max/OR)."""
+    df = spark.read.parquet(path)
+    return df.withColumn("bucket", F.col("bucket").cast("string"))

@@ -103,6 +103,34 @@ def test_generic_rollup_hll_union_equals_direct_build(spark, events):
     assert empty.to_bytes() == mk().to_bytes()
 
 
+def test_rollup_write_read_partition_pruned(spark, events, tmp_path):
+    """The durable rollup store: write partitioned by bucket, read back,
+    and a range query (a) prunes to ONLY the covered day partitions —
+    the bucket predicate must appear as a PartitionFilter on the scan,
+    not a post-scan data filter — and (b) merges to the same bytes as
+    the in-memory rollup."""
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        read_rollup,
+        write_rollup,
+    )
+
+    buckets = cms_time_buckets(events, "ts", "user_id", CFG)
+    path = str(tmp_path / "rollup_store")
+    write_rollup(buckets, path)
+
+    back = read_rollup(spark, path)
+    lo, hi = "2024-01-05", "2024-01-12"
+    sel = back.filter((F.col("bucket") >= lo) & (F.col("bucket") <= hi))
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0], plan
+    assert sel.count() == 8  # exactly the covered days survive pruning
+
+    merged = cms_rollup_range(back, lo, hi, CFG)
+    direct = cms_rollup_range(buckets, lo, hi, CFG)
+    assert merged.to_bytes() == direct.to_bytes()
+
+
 def test_rollup_estimates_one_sided(spark, events):
     """Point estimates from the merged range sketch keep the CMS one-sided
     guarantee vs exact filtered counts."""
