@@ -630,6 +630,65 @@ ORDER BY event_type, q_pct
 """
 
 
+def q_kll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles-over-a-date-range from a materialized per-day KLL rollup —
+    the third pillar of the rollup store (frequency = cms_time_rollup,
+    COUNT DISTINCT = hll_time_rollup, quantiles = here). One KLL of
+    events.value per day on the generic rails; a range query merges ONLY
+    the covered day sketches (KLL merge is the same compaction the
+    partition merge uses). Unlike the CMS/HLL pillars the merged state is
+    not bit-identical to a direct build (compaction is randomized per
+    merge order), so the oracle-checked columns are the exact data
+    arithmetic (n, inverse-CDF discrete quantiles of the filtered rows)
+    plus the sketch's rank-error bound evaluated in-query against the
+    exact ranks — the same contract shape as kll_quantiles."""
+    from .cms_queries import ROLLUP_HI, ROLLUP_LO
+    from ..operators.quantiles import exact_discrete_quantiles, exact_ranks_of_values
+    from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    buckets = sketch_time_buckets(ev, "ts", "value", _mk_kll, _kll_from_bytes,
+                                  as_float=True)
+    sk = sketch_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI, _mk_kll,
+                             _kll_from_bytes)
+    sel = ev.filter(
+        (F.col("ts").cast("date").cast("string") >= ROLLUP_LO)
+        & (F.col("ts").cast("date").cast("string") <= ROLLUP_HI)
+    )
+    est = sk.quantile(np.array(QUANTS))
+    n, ranks = exact_ranks_of_values(sel, "value", est.tolist())
+    disc = exact_discrete_quantiles(sel, "value", QUANTS, n=n)
+    rows = []
+    for (q, _r, v), rk in zip(disc, ranks):
+        rows.append((int(round(q * 100)), int(n), float(v),
+                     bool(abs(rk - q) <= KLL_RANK_EPS)))
+    return spark.createDataFrame(
+        rows,
+        "q_pct BIGINT, n BIGINT, exact_disc_value DOUBLE, within_rank_bound BOOLEAN",
+    ).orderBy("q_pct")
+
+
+def _kll_time_rollup_sql() -> str:
+    from .cms_queries import ROLLUP_HI, ROLLUP_LO
+
+    qvals = ", ".join(f"({int(round(q * 100))}, CAST({q!r} AS DOUBLE))" for q in QUANTS)
+    return f"""
+WITH vals AS (
+  SELECT value AS x FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}'
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+qs AS (SELECT * FROM (VALUES {qvals}) v(q_pct, q)),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM vals)
+SELECT CAST(q.q_pct AS BIGINT) AS q_pct, nn.n AS n, r.x AS exact_disc_value,
+       TRUE AS within_rank_bound
+FROM qs q CROSS JOIN nn
+JOIN ranked r ON r.rn = GREATEST(1, CAST(CEIL(q.q * nn.n) AS BIGINT))
+ORDER BY q_pct
+"""
+
+
 DYADIC_SEED = 12345
 DYADIC_BASE = 16
 DYADIC_LEVELS = 8
@@ -1058,5 +1117,6 @@ SKETCH_QUERIES = {
     "kmv_set_ops": (q_kmv_set_ops, _kmv_set_ops_sql()),
     "kll_quantiles": (q_kll_quantiles, _quantile_sql()),
     "kll_grouped_by_type": (q_kll_grouped_by_type, _kll_grouped_sql()),
+    "kll_time_rollup": (q_kll_time_rollup, _kll_time_rollup_sql()),
     "tdigest_quantiles": (q_tdigest_quantiles, _quantile_sql()),
 }

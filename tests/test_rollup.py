@@ -103,6 +103,50 @@ def test_generic_rollup_hll_union_equals_direct_build(spark, events):
     assert empty.to_bytes() == mk().to_bytes()
 
 
+def test_kll_rollup_range_rank_accuracy(spark, events):
+    """Quantile pillar: merging per-day KLLs over a range is NOT
+    bit-identical to a direct build (randomized compaction), but the
+    merged sketch must keep the rank-error bound against the exact
+    distribution of the date-filtered rows."""
+    import numpy as np
+
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        sketch_rollup_range,
+        sketch_time_buckets,
+    )
+
+    def mk():
+        from parallel_count_min_sketch_spark.sketches.kll import KLLSketch
+
+        return KLLSketch(200, 5)
+
+    def fb(b):
+        from parallel_count_min_sketch_spark.sketches.kll import KLLSketch
+
+        return KLLSketch.from_bytes(b)
+
+    lo, hi = "2024-01-05", "2024-01-18"
+    buckets = sketch_time_buckets(events, "ts", "value", mk, fb, as_float=True)
+    sk = sketch_rollup_range(buckets, lo, hi, mk, fb)
+    vals = np.sort(
+        np.array(
+            [
+                r["value"]
+                for r in events.filter(
+                    (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+                    & (F.col("ts").cast("date") <= F.lit(hi).cast("date"))
+                    & F.col("value").isNotNull()
+                ).select("value").collect()
+            ]
+        )
+    )
+    qs = np.array([0.01, 0.1, 0.5, 0.9, 0.99])
+    est = sk.quantile(qs)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(vals, e, side="right") / len(vals)
+        assert abs(rank - q) <= 0.05, (q, e, rank)
+
+
 def test_rollup_write_read_partition_pruned(spark, events, tmp_path):
     """The durable rollup store: write partitioned by bucket, read back,
     and a range query (a) prunes to ONLY the covered day partitions —
