@@ -48,16 +48,22 @@ _PAIR_PA = pa.schema(
 )
 
 
-def kmv_pair_estimates(grouped_df: DataFrame) -> DataFrame:
+def kmv_pair_estimates(grouped_df: DataFrame, pair_cond=None) -> DataFrame:
     """DataFrame[group_a < group_b, theta, n_common, n_union_below_theta,
-    inter_floor, union_floor, jaccard_bp] for every unordered group pair."""
+    inter_floor, union_floor, jaccard_bp] for every unordered group pair.
+    ``pair_cond`` (a Column over group_a/group_b) restricts WHICH pairs
+    are combined — e.g. consecutive-day pairs for retention over a
+    per-day rollup — keeping the pair set linear in G instead of G²."""
     a = grouped_df.select(
         F.col("group").alias("group_a"), F.col("sketch").alias("sketch_a")
     )
     b = grouped_df.select(
         F.col("group").alias("group_b"), F.col("sketch").alias("sketch_b")
     )
-    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    cond = F.col("group_a") < F.col("group_b")
+    if pair_cond is not None:
+        cond = cond & pair_cond
+    pairs = a.join(F.broadcast(b), cond)
 
     def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()

@@ -887,6 +887,95 @@ ORDER BY group_a, group_b
 """
 
 
+RET_K = 512
+RET_SEED = 61
+RET_LO, RET_HI = "2024-01-08", "2024-01-15"  # 8 days -> 7 adjacent pairs
+
+
+def _mk_kmv_ret():
+    return KMVSketch(RET_K, RET_SEED)
+
+
+def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention from a per-day KMV rollup: one bottom-k
+    distinct-user sketch per calendar day (the set-operation pillar of
+    the rollup store), then |active(d) ∩ active(d+1)| / union / Jaccard
+    estimates for each consecutive-day pair — combined INSIDE executors
+    from the KB-sized day sketches, never rescanning the events rows.
+    The pair predicate keeps the pair set linear in the day count. All
+    estimate columns are integer floors over bottom-k state the DuckDB
+    oracle replays literally (``SELECT DISTINCT h ORDER BY h LIMIT k``
+    per day) — the audit a product team runs as "how many of yesterday's
+    users came back today", at corpus-independent query cost."""
+    from ..operators.rollup import sketch_time_buckets
+    from ..operators.setops import kmv_pair_estimates
+
+    ev = load(spark, sf_dir, "events")
+    buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_kmv_ret,
+                                  _kmv_from_bytes)
+    grouped = (
+        buckets.filter(
+            (F.col("bucket") >= RET_LO) & (F.col("bucket") <= RET_HI)
+        ).withColumnRenamed("bucket", "group")
+    )
+    adjacent = (
+        F.col("group_b").cast("date")
+        == F.date_add(F.col("group_a").cast("date"), 1)
+    )
+    return kmv_pair_estimates(grouped, adjacent).orderBy("group_a")
+
+
+def _kmv_retention_sql() -> str:
+    from ..sketches.hashing import MERSENNE_PRIME
+
+    sk = _mk_kmv_ret()
+    p, k = MERSENNE_PRIME, sk.k
+    h = affine_sql(sk.a, sk.b, "CAST(user_id AS BIGINT)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS g, {h} AS h
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{RET_LO}' AND DATE '{RET_HI}'
+    AND ts IS NOT NULL AND user_id IS NOT NULL),
+ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed),
+kept AS (SELECT g, h FROM ranked WHERE rn <= {k}),
+gstats AS (SELECT g, COUNT(*) AS n, MAX(h) AS mx FROM kept GROUP BY g),
+thetas AS (SELECT g, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM gstats),
+pairs AS (SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
+          FROM thetas a JOIN thetas b
+            ON a.g < b.g AND CAST(b.g AS DATE) = CAST(a.g AS DATE) + 1),
+common AS (SELECT pr.ga, pr.gb, COUNT(*) AS n_common
+           FROM pairs pr
+           JOIN kept ka ON ka.g = pr.ga AND ka.h < pr.theta
+           JOIN kept kb ON kb.g = pr.gb AND kb.h = ka.h
+           GROUP BY pr.ga, pr.gb),
+union_below AS (SELECT pr.ga, pr.gb, COUNT(DISTINCT kk.h) AS n_ub
+                FROM pairs pr
+                JOIN kept kk ON kk.g IN (pr.ga, pr.gb) AND kk.h < pr.theta
+                GROUP BY pr.ga, pr.gb),
+union_ranked AS (
+  SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+  FROM (SELECT DISTINCT pr.ga, pr.gb, kk.h
+        FROM pairs pr JOIN kept kk ON kk.g IN (pr.ga, pr.gb))),
+union_stats AS (SELECT ga, gb, COUNT(*) AS n_u, MAX(h) AS mx_u
+                FROM union_ranked WHERE rn <= {k} GROUP BY ga, gb)
+SELECT pr.ga AS group_a, pr.gb AS group_b,
+       CAST(pr.theta AS BIGINT) AS theta,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(ub.n_ub, 0) AS BIGINT) AS n_union_below_theta,
+       CAST((CAST(COALESCE(c.n_common, 0) AS BIGINT) * {p}) // pr.theta AS BIGINT) AS inter_floor,
+       CAST(CASE WHEN us.n_u < {k} THEN us.n_u
+                 ELSE (CAST({k - 1} AS BIGINT) * {p}) // us.mx_u END AS BIGINT) AS union_floor,
+       CAST(CASE WHEN COALESCE(ub.n_ub, 0) = 0 THEN 0
+                 ELSE (10000 * COALESCE(c.n_common, 0)) // ub.n_ub END AS BIGINT) AS jaccard_bp
+FROM pairs pr
+LEFT JOIN common c ON c.ga = pr.ga AND c.gb = pr.gb
+LEFT JOIN union_below ub ON ub.ga = pr.ga AND ub.gb = pr.gb
+JOIN union_stats us ON us.ga = pr.ga AND us.gb = pr.gb
+ORDER BY group_a
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Sketch (AMS): unbiased point estimates + F2 moment.
 # ---------------------------------------------------------------------------
@@ -1115,6 +1204,7 @@ SKETCH_QUERIES = {
     "countsketch_f2": (q_countsketch_f2, _cs_f2_sql()),
     "kmv_distinct": (q_kmv_distinct, _kmv_sql()),
     "kmv_set_ops": (q_kmv_set_ops, _kmv_set_ops_sql()),
+    "kmv_retention": (q_kmv_retention, _kmv_retention_sql()),
     "kll_quantiles": (q_kll_quantiles, _quantile_sql()),
     "kll_grouped_by_type": (q_kll_grouped_by_type, _kll_grouped_sql()),
     "kll_time_rollup": (q_kll_time_rollup, _kll_time_rollup_sql()),

@@ -1,0 +1,84 @@
+"""Streaming maintenance of the durable time-rollup store.
+
+The rollup store (operators/rollup.py) is a parquet table of per-day
+sketch blobs. Because sketch merges are associative, a STREAM can
+maintain it incrementally: each micro-batch contributes one partial
+sketch per day it touches, and a range query folds every partial of the
+covered days — the same linearity that makes the batch rollup
+bit-identical to a direct build.
+
+Exactly-once without a driver-side state blob: each batch writes its
+day-partials under ``batch_id=N/bucket=D`` partition directories with
+dynamic partition overwrite, so an at-least-once foreachBatch REPLAY of
+batch N overwrites its own directories with identical content instead of
+appending duplicates. The store stays correct through crash/restart with
+no coordination beyond Spark's own source checkpoint (reference merge
+analog: src/mpi/mpiV2.c:163-175 — partial sketches folded by an
+associative reduce, here across micro-batches x days instead of ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import CMSConfig
+from ..operators.rollup import cms_time_buckets
+
+_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+
+
+def rollup_sink(cfg: CMSConfig, ts_col: str, item_col: str, store_path: str,
+                *, string_items: bool = False):
+    """foreachBatch callback maintaining a per-day CMS rollup store at
+    ``store_path``. Use with ``writeStream.foreachBatch(...)`` (any
+    trigger, including availableNow backfills). Safe to replay: the
+    (batch_id, bucket) partition directories are idempotently
+    overwritten, never appended."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        buckets = cms_time_buckets(batch_df, ts_col, item_col, cfg,
+                                   string_items=string_items)
+        spark = batch_df.sparkSession
+        prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
+        spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
+        try:
+            (
+                buckets.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id", "bucket")
+                .parquet(store_path)
+            )
+        finally:
+            spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+
+    return process
+
+
+def read_stream_rollup(spark, store_path: str) -> DataFrame:
+    """Read a stream-maintained rollup store back into the
+    [bucket, ..., sketch] shape the range-merge functions take. A day
+    that spans micro-batches carries several partial rows; the range
+    merges fold them by associativity, so no compaction is required for
+    correctness (a periodic batch rewrite via write_rollup stays
+    available as an optimization once batch counts grow)."""
+    df = spark.read.parquet(store_path)
+    return df.withColumn("bucket", F.col("bucket").cast("string"))
+
+
+def start_rollup_stream(stream_df: DataFrame, cfg: CMSConfig, ts_col: str,
+                        item_col: str, store_path: str, checkpoint_dir: str,
+                        *, string_items: bool = False,
+                        available_now: bool = True):
+    """Wire a streaming DataFrame into the rollup store and start the
+    query. ``available_now=True`` drains every available source file then
+    stops — the backfill/catch-up mode; pass False for a continuously
+    running maintainer."""
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(rollup_sink(cfg, ts_col, item_col, store_path,
+                                  string_items=string_items))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
