@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "event_sessions",
     "cms_time_rollup",
+    "kmv_retention",
 ]
 
 

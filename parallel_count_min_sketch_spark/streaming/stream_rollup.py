@@ -65,6 +65,32 @@ def read_stream_rollup(spark, store_path: str) -> DataFrame:
     return df.withColumn("bucket", F.col("bucket").cast("string"))
 
 
+def compact_rollup(spark, store_path: str, out_path: str, cfg: CMSConfig) -> None:
+    """Fold a stream-maintained store (several partial rows per day, one
+    per touching micro-batch) into the canonical one-row-per-day form and
+    persist it with ``write_rollup``. Pure merge by associativity — the
+    compacted store answers every range query with the same bytes
+    (tested) while dropping the batch_id dimension, so long-running
+    maintainers can bound file counts with a periodic compaction instead
+    of carrying one file per (batch, day) forever."""
+    from ..operators.rollup import write_rollup
+    from ..operators.sketch_agg import merge_grouped_partials
+
+    eps, delta = cfg.epsilon, cfg.delta
+
+    def fb(b):
+        from ..sketches.cms import CountMinSketch
+
+        return CountMinSketch.from_bytes(b, eps, delta)
+
+    df = read_stream_rollup(spark, store_path)
+    grouped = df.select(
+        F.col("bucket").alias("group"), "rows_seen", "sketch"
+    )
+    merged = merge_grouped_partials(grouped, fb)
+    write_rollup(merged.withColumnRenamed("group", "bucket"), out_path)
+
+
 def start_rollup_stream(stream_df: DataFrame, cfg: CMSConfig, ts_col: str,
                         item_col: str, store_path: str, checkpoint_dir: str,
                         *, string_items: bool = False,

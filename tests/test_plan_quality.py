@@ -253,3 +253,22 @@ def test_mg_recount_is_broadcast_and_bounded(spark, pages_path):
     # the group-by after the broadcast join is partial/final (map-side
     # combine before the candidate-only shuffle)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_kmv_retention_single_scan_hash_join(spark):
+    """Retention over the per-day KMV rollup must (a) read the events
+    corpus ONCE — the pair join's two sides reuse the same grouped-partial
+    exchange — and (b) join adjacent days as a broadcast HASH join
+    (Catalyst extracts the date_add equi-condition from the pair
+    predicate), never a nested-loop over all day pairs."""
+    from parallel_count_min_sketch_spark.plans.sketch_queries import (
+        q_kmv_retention,
+    )
+
+    df = q_kmv_retention(spark, "/root/testdata/sf0.001")
+    plan = _plan(df, execute=True)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReusedExchange" in final, final

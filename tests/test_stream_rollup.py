@@ -59,6 +59,32 @@ def test_stream_rollup_equals_batch_rollup(spark, tmp_path, events, staged_event
     assert merged.to_bytes() == batch.to_bytes()
 
 
+def test_compact_rollup_preserves_range_bytes(spark, tmp_path, events):
+    """Compaction folds the per-(batch, day) partials into one row per
+    day; every range query must answer with the same bytes before and
+    after (merge associativity)."""
+    from parallel_count_min_sketch_spark.operators.rollup import read_rollup
+    from parallel_count_min_sketch_spark.streaming.stream_rollup import (
+        compact_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    sink = rollup_sink(CFG, "ts", "user_id", store)
+    sink(events.filter(F.col("event_id") % 2 == 0), 0)
+    sink(events.filter(F.col("event_id") % 2 == 1), 1)
+    raw = read_stream_rollup(spark, store)
+    assert raw.count() > raw.select("bucket").distinct().count()
+
+    out = str(tmp_path / "compacted")
+    compact_rollup(spark, store, out, CFG)
+    compacted = read_rollup(spark, out)
+    assert compacted.count() == compacted.select("bucket").distinct().count()
+    assert (
+        cms_rollup_range(compacted, LO, HI, CFG).to_bytes()
+        == cms_rollup_range(raw, LO, HI, CFG).to_bytes()
+    )
+
+
 def test_stream_rollup_replay_is_idempotent(spark, tmp_path, events):
     """At-least-once foreachBatch: replaying a batch overwrites its own
     (batch_id, bucket) directories instead of appending duplicates."""
