@@ -43,14 +43,29 @@ def _day_bucket(df: DataFrame, ts_col: str) -> DataFrame:
 
 
 def cms_time_buckets(df, ts_col: str, item_col: str, cfg: CMSConfig, *,
-                     string_items: bool = False) -> DataFrame:
+                     string_items: bool = False,
+                     pre_aggregate: bool = False) -> DataFrame:
     """DataFrame[bucket, rows_seen, total, sketch]: one merged CMS per
     calendar day of ``ts_col`` (TIMESTAMP_NTZ-safe: cast to DATE then
     STRING, timezone-independent and replayable as DuckDB's
     CAST(ts AS DATE)). Rows with a NULL timestamp or NULL item are
     dropped, mirroring the grouped rails' NULL policy."""
-    out = cms_grouped(_day_bucket(df, ts_col), "__bucket", item_col, cfg,
-                      string_items=string_items)
+    bucketed = _day_bucket(df, ts_col)
+    if pre_aggregate:
+        # collapse to (day, DISTINCT item, count) first: Catalyst's
+        # partial/final agg does the heavy per-occurrence counting
+        # JVM-side with map-side combine, and the Arrow channel then
+        # moves one weighted row per distinct (day, item) instead of one
+        # per occurrence. CMS weighted updates are the same integer sums,
+        # so the bucket sketches are BIT-IDENTICAL (tested) — the grouped
+        # sibling of sql_build's distinct-first plan.
+        pre = bucketed.groupBy("__bucket", item_col).agg(
+            F.count("*").alias("__w"))
+        out = cms_grouped(pre, "__bucket", item_col, cfg,
+                          string_items=string_items, weight_col="__w")
+    else:
+        out = cms_grouped(bucketed, "__bucket", item_col, cfg,
+                          string_items=string_items)
     return (
         out.withColumnRenamed("group", "bucket")
     )

@@ -593,7 +593,12 @@ def q_cms_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import cms_rollup_range, cms_time_buckets
 
     ev = load(spark, sf_dir, "events")
-    buckets = cms_time_buckets(ev, "ts", "user_id", ROLLUP_CFG).persist()
+    # distinct-first build: groupBy(day, user) count JVM-side, then one
+    # weighted Arrow row per distinct pair — bit-identical to the
+    # per-occurrence plan (test_pre_aggregate_rollup_build_is_bit_identical)
+    buckets = cms_time_buckets(
+        ev, "ts", "user_id", ROLLUP_CFG, pre_aggregate=True
+    ).persist()
     try:
         sel_days = int(
             buckets.filter(

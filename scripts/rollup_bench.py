@@ -93,15 +93,20 @@ def main() -> None:
 
     buckets = None
 
-    def build():
-        nonlocal buckets
-        if buckets is not None:
-            buckets.unpersist()
-        buckets = cms_time_buckets(ev, "ts", "user_id", cfg).persist()
-        buckets.count()  # materialize the rollup table
-        return buckets
+    def mk_build(pre: bool):
+        def build():
+            nonlocal buckets
+            if buckets is not None:
+                buckets.unpersist()
+            buckets = cms_time_buckets(ev, "ts", "user_id", cfg,
+                                       pre_aggregate=pre).persist()
+            buckets.count()  # materialize the rollup table
+            return buckets
 
-    _, build_runs = timed(build)
+        return build
+
+    _, build_pre_runs = timed(mk_build(True))
+    _, build_runs = timed(mk_build(False))
 
     def rollup_query():
         return cms_rollup_range(buckets, lo, hi, cfg)
@@ -122,6 +127,7 @@ def main() -> None:
     ests = [int(x) for x in sk_roll.point_query(probes)]
 
     build_sec = bench._clean_median(build_runs)
+    build_pre_sec = bench._clean_median(build_pre_runs)
     roll_sec = bench._clean_median(roll_runs)
     direct_sec = bench._clean_median(direct_runs)
     res = {
@@ -132,6 +138,9 @@ def main() -> None:
         "build_sec": build_sec,
         "build_rows_per_sec": round(args.rows / build_sec),
         "build_runs": build_runs,
+        "build_pre_aggregate_sec": build_pre_sec,
+        "build_pre_aggregate_rows_per_sec": round(args.rows / build_pre_sec),
+        "build_pre_aggregate_runs": build_pre_runs,
         "rollup_query_sec": roll_sec,
         "rollup_query_runs": roll_runs,
         "direct_query_sec": direct_sec,

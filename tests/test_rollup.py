@@ -103,6 +103,19 @@ def test_generic_rollup_hll_union_equals_direct_build(spark, events):
     assert empty.to_bytes() == mk().to_bytes()
 
 
+def test_pre_aggregate_rollup_build_is_bit_identical(spark, events):
+    """The distinct-first rollup build (groupBy(day, item) count, then
+    weighted grouped build) must produce byte-identical day sketches —
+    weighted CMS updates are the same integer sums."""
+    lo, hi = "2024-01-02", "2024-01-25"
+    plain = cms_rollup_range(
+        cms_time_buckets(events, "ts", "user_id", CFG), lo, hi, CFG)
+    pre = cms_rollup_range(
+        cms_time_buckets(events, "ts", "user_id", CFG, pre_aggregate=True),
+        lo, hi, CFG)
+    assert plain.to_bytes() == pre.to_bytes()
+
+
 def test_kll_rollup_range_rank_accuracy(spark, events):
     """Quantile pillar: merging per-day KLLs over a range is NOT
     bit-identical to a direct build (randomized compaction), but the
