@@ -49,7 +49,15 @@ def cms_time_buckets(df, ts_col: str, item_col: str, cfg: CMSConfig, *,
     calendar day of ``ts_col`` (TIMESTAMP_NTZ-safe: cast to DATE then
     STRING, timezone-independent and replayable as DuckDB's
     CAST(ts AS DATE)). Rows with a NULL timestamp or NULL item are
-    dropped, mirroring the grouped rails' NULL policy."""
+    dropped, mirroring the grouped rails' NULL policy.
+
+    ``pre_aggregate`` picks the distinct-first plan. Use it iff
+    distinct (day, item) pairs ≪ rows (hot-key traffic, log-ingest
+    arrival where each input split covers few days): it trades one
+    extra (day, item) shuffle for an Arrow channel that moves O(pairs)
+    weighted rows instead of O(occurrences). Measured both ways at
+    100M rows in BENCH/rollup_scale{,_clustered}.json — 1.5x faster at
+    7.3M pairs, slower when pairs are near-unique."""
     bucketed = _day_bucket(df, ts_col)
     if pre_aggregate:
         # collapse to (day, DISTINCT item, count) first: Catalyst's

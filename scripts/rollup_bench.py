@@ -18,8 +18,19 @@ independent of corpus size, while direct_query rescans the corpus — the
 measured speedup is the amortization every additional range query earns.
 Estimates are asserted identical between the two paths (CMS linearity).
 
+Both build plans are timed: per-occurrence (one Arrow row per event) and
+distinct-first / pre_aggregate (JVM groupBy(day,item) count, one weighted
+Arrow row per distinct pair). Which wins is decided by
+distinct_day_item_pairs vs rows — reported so the verdict is data-driven:
+
+  random arrival + 1M universe  -> pairs ~ rows, pre-agg adds a shuffle
+                                   for nothing (loses)
+  clustered (log-ingest) arrival + hot universe -> per-split distinct
+                                   collapses, pre-agg wins
+
 Usage: python scripts/rollup_bench.py [--rows 100000000] [--days 365]
-                                      [--range-days 30] [--reps 3]
+         [--range-days 30] [--reps 3] [--universe 1000000] [--clustered]
+         [--out rollup_scale.json]
 """
 
 from __future__ import annotations
@@ -40,6 +51,15 @@ def main() -> None:
     ap.add_argument("--days", type=int, default=365)
     ap.add_argument("--range-days", type=int, default=30)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--universe", type=int, default=1_000_000,
+                    help="cold user-id universe size (hot set is 1000)")
+    ap.add_argument("--clustered", action="store_true",
+                    help="time-ordered arrival: day increases monotonically "
+                         "with row id (the realistic log-ingest shape — each "
+                         "input split covers a few days, so per-partition "
+                         "(day,item) distinct collapses)")
+    ap.add_argument("--out", default="rollup_scale.json",
+                    help="output filename under BENCH/")
     args = ap.parse_args()
 
     import numpy as np
@@ -58,14 +78,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cfg = CMSConfig(epsilon=0.005, delta=0.1, seed=2024)
 
-    # events-shaped stream: uniform day in [0, days), skewed user ids
-    # (90% uniform 1M-universe tail, 10% a 1k-universe hot set)
-    day = f"({_u('id', 11, 99)} % {args.days})"
+    # events-shaped stream: skewed user ids (90% uniform --universe tail,
+    # 10% a 1k-universe hot set); day either hashed per row (--clustered
+    # off: worst case for pre-aggregation, every split touches every day)
+    # or monotone in row id (--clustered: log-ingest order, each split
+    # covers ~days/splits days)
+    if args.clustered:
+        day = f"(CAST(id * {args.days} / {args.rows} AS BIGINT))"
+    else:
+        day = f"({_u('id', 11, 99)} % {args.days})"
     from parallel_count_min_sketch_spark.sketches.hashing import MERSENNE_PRIME
 
     r = f"(CAST({_u('id', 12, 99)} AS DOUBLE) / {MERSENNE_PRIME}.0)"
     uid = (f"CASE WHEN {r} < 0.1 THEN CAST({_u('id', 13, 99)} % 1000 AS BIGINT) "
-           f"ELSE CAST({_u('id', 14, 99)} % 1000000 AS BIGINT) END")
+           f"ELSE CAST({_u('id', 14, 99)} % {args.universe} AS BIGINT) END")
     ev = spark.range(0, args.rows, 1, bench.CPUS * 4).select(
         F.expr(uid).alias("user_id"),
         F.expr(
@@ -123,6 +149,12 @@ def main() -> None:
     sk_direct, direct_runs = timed(direct_query)
 
     assert sk_roll.to_bytes() == sk_direct.to_bytes(), "linearity violated"
+    # the quantity that decides which build plan wins: pre-aggregation
+    # moves O(pairs) rows through Arrow instead of O(rows), at the cost
+    # of one (day,item) shuffle
+    n_pairs = int(
+        ev.dropna().select("user_id", F.col("ts").cast("date")).distinct().count()
+    )
     probes = np.array([0, 1, 500, 999_983], dtype=np.int64)
     ests = [int(x) for x in sk_roll.point_query(probes)]
 
@@ -135,6 +167,9 @@ def main() -> None:
         "days": args.days,
         "range_days": args.range_days,
         "reps": args.reps,
+        "universe": args.universe,
+        "clustered_arrival": bool(args.clustered),
+        "distinct_day_item_pairs": n_pairs,
         "build_sec": build_sec,
         "build_rows_per_sec": round(args.rows / build_sec),
         "build_runs": build_runs,
@@ -152,7 +187,7 @@ def main() -> None:
         "cpus": bench.CPUS,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "rollup_scale.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", args.out), "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))
 

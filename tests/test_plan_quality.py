@@ -272,3 +272,30 @@ def test_kmv_retention_single_scan_hash_join(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1, final
     assert "ReusedExchange" in final, final
+
+
+def test_rollup_pre_aggregate_plan(spark):
+    """The distinct-first rollup build must (a) prune the scan to
+    (ts, item) only, (b) collapse occurrences with a partial+final
+    HashAggregate on (day, item) BELOW the Arrow stage — so the Python
+    channel moves one weighted row per distinct pair — and (c) keep the
+    counting on the codegen path."""
+    from parallel_count_min_sketch_spark.operators.rollup import cms_time_buckets
+    from parallel_count_min_sketch_spark.plans.cms_queries import ROLLUP_CFG
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = cms_time_buckets(ev, "ts", "user_id", ROLLUP_CFG, pre_aggregate=True)
+    plan = _plan(df, execute=True)
+    final = plan.split("== Initial Plan ==")[0]
+    m = re.search(r"ReadSchema: ([^\n]+)", final)
+    assert m and "user_id" in m.group(1), final
+    assert "event_type" not in m.group(1), f"scan not pruned: {m.group(1)}"
+    assert "props" not in m.group(1), f"scan not pruned: {m.group(1)}"
+    # partial agg on (bucket, item) feeds the MapInArrow fold
+    arrow_pos = final.find("MapInArrow")
+    partial_pos = final.find("partial_count")
+    final_agg_pos = final.find("HashAggregate(keys=[__bucket")
+    assert arrow_pos != -1 and partial_pos != -1 and final_agg_pos != -1, final
+    assert partial_pos > arrow_pos and final_agg_pos > arrow_pos, (
+        "the (day,item) count agg must sit below the Arrow stage:\n" + final
+    )
