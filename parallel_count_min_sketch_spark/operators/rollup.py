@@ -126,16 +126,28 @@ def sketch_rollup_range(buckets_df: DataFrame, lo: str, hi: str,
     return merge_sketch_partials(sel, from_bytes)
 
 
-def write_rollup(buckets_df: DataFrame, path: str) -> None:
+def write_rollup(buckets_df: DataFrame, path: str, *,
+                 mode: str = "overwrite") -> None:
     """Persist a bucket-sketch table as parquet PARTITIONED BY bucket —
     the durable form of the rollup store. One day = one partition
     directory holding one KB-sized blob row, so a later range query's
     ``bucket BETWEEN lo AND hi`` predicate is a partition filter: Spark
     lists and reads ONLY the covered day directories (partition pruning,
     asserted in test_rollup.py), never the corpus and never the other
-    days. ``mode('append')`` makes incremental daily refresh the natural
-    write pattern — append today's bucket, nothing else is touched."""
-    buckets_df.write.mode("append").partitionBy("bucket").parquet(path)
+    days.
+
+    ``mode="overwrite"`` (default) uses per-writer DYNAMIC partition
+    overwrite: only the day directories present in ``buckets_df`` are
+    replaced, other days are untouched — so the daily refresh job is
+    IDEMPOTENT (a retried/re-run day replaces its own directory instead
+    of double-counting). ``mode="append"`` adds rows without touching
+    existing ones; use it only for DISJOINT partial contributions (the
+    streaming store's per-batch partials), never to re-write a day a
+    sum-merge kernel has already stored."""
+    w = buckets_df.write.partitionBy("bucket")
+    if mode == "overwrite":
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.mode(mode).parquet(path)
 
 
 def read_rollup(spark, path: str) -> DataFrame:
@@ -145,8 +157,10 @@ def read_rollup(spark, path: str) -> DataFrame:
     type inference reads ISO dates as DATE, so cast back to the STRING
     key the merge filters compare on (lossless for ISO dates; the cast
     composes with pruning because it sits above the partition filter).
-    Duplicate blobs from incremental appends of the SAME day remain
-    separate rows, which the range merges fold correctly: sketch merges
-    are associative (sum) or idempotent (max/OR)."""
+    Multiple rows per day (disjoint partial appends, e.g. the streaming
+    store's per-batch partials) fold correctly in the range merges by
+    associativity; a re-written FULL day must go through
+    ``write_rollup(mode="overwrite")``, not append, or sum-merge kernels
+    double-count."""
     df = spark.read.parquet(path)
     return df.withColumn("bucket", F.col("bucket").cast("string"))

@@ -476,7 +476,8 @@ def q_stream_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         acc = StreamingCMS(CFG, "text", state_path=os.path.join(tmp, "state.bin"))
         q = acc.start(stream, os.path.join(tmp, "ckpt"), trigger_once=True)
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            raise TimeoutError("stream did not drain within 300s")
         batch_sk = build_cms_from_text(docs, "text", CFG)
         est_key = int(acc.sketch.point_query(
             np.array([djb2_py("key")], dtype=np.int64))[0])

@@ -114,7 +114,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_distinct_sql() -> str:
+def _hll_pipeline_sql(ids_select: str) -> tuple[str, float]:
+    """Shared DuckDB replay of the HLL register pipeline (hash pair →
+    rho → per-bucket MAX register → scaled inverse sum → bias-corrected
+    estimate with the linear-counting branch). Returns the CTE block
+    (``WITH ids AS (...) ... est AS (...)``, where ``ids_select`` must
+    expose an ``item_id`` column) plus the relative-error threshold, so
+    every oracle replaying the estimator shares ONE copy of the math —
+    a fix lands everywhere at once. CAST every float literal: DuckDB
+    parses bare decimal literals as DECIMAL, whose fixed-point multiply
+    overflows (and rounds differently than the IEEE doubles the Spark
+    side uses)."""
     import math
 
     from ..sketches.hll import HLL_SCALE_BITS, _alpha
@@ -127,12 +137,9 @@ def _hll_distinct_sql() -> str:
     alpha = _alpha(m)
     scale = float(1 << HLL_SCALE_BITS)
     thr = 5 * (1.04 / math.sqrt(m))
-    # CAST every float literal: DuckDB parses bare decimal literals as
-    # DECIMAL, whose fixed-point multiply overflows (and rounds differently
-    # than the IEEE doubles the Spark side uses).
     raw = (f"(CAST({alpha!r} AS DOUBLE) * {m * m} * CAST({scale!r} AS DOUBLE) / s)")
-    return f"""
-WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
+    block = f"""
+WITH ids AS ({ids_select}),
 hashed AS (SELECT {h1} AS h1, {h2} AS h2 FROM ids),
 regs AS (
   SELECT h1 % {m} AS bucket,
@@ -143,18 +150,25 @@ regs AS (
 reg_table AS (SELECT bucket, MAX(rho) AS register FROM regs GROUP BY bucket),
 stats AS (
   SELECT CAST({m} - COUNT(*) AS BIGINT) AS v,
-         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register))
+         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register)), 0)
               + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS BIGINT) AS s
   FROM reg_table
 ),
-exact AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem),
 est AS (
   SELECT s, v,
          CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
               THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / v)
               ELSE {raw} END AS e
   FROM stats
-)
+)"""
+    return block, thr
+
+
+def _hll_distinct_sql() -> str:
+    block, thr = _hll_pipeline_sql(
+        "SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem")
+    return f"""{block},
+exact AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem)
 SELECT exact.exact_distinct, est.v AS zero_registers, est.s AS scaled_inverse_sum,
        CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
        (abs(est.e - exact.exact_distinct) / exact.exact_distinct
@@ -213,52 +227,20 @@ def q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_time_rollup_sql() -> str:
-    import math
-
     from .cms_queries import ROLLUP_HI, ROLLUP_LO
-    from ..sketches.hll import HLL_SCALE_BITS, _alpha
 
-    hll = _mk_hll()
-    m = hll.m
-    a, b = hll.a, hll.b
-    h1 = affine_sql(int(a[0]), int(b[0]), "item_id")
-    h2 = affine_sql(int(a[1]), int(b[1]), "item_id")
-    alpha = _alpha(m)
-    scale = float(1 << HLL_SCALE_BITS)
-    thr = 5 * (1.04 / math.sqrt(m))
-    raw = f"(CAST({alpha!r} AS DOUBLE) * {m * m} * CAST({scale!r} AS DOUBLE) / s)"
     in_range = (
         f"CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}' "
         "AND ts IS NOT NULL AND user_id IS NOT NULL"
     )
-    return f"""
-WITH ids AS (SELECT CAST(user_id AS BIGINT) AS item_id, CAST(ts AS DATE) AS d
-             FROM events WHERE {in_range}),
-hashed AS (SELECT {h1} AS h1, {h2} AS h2 FROM ids),
-regs AS (
-  SELECT h1 % {m} AS bucket,
-         CASE WHEN h2 = 0 THEN 32
-              ELSE CAST(log2(h2 & -h2) AS BIGINT) + 1 END AS rho
-  FROM hashed
-),
-reg_table AS (SELECT bucket, MAX(rho) AS register FROM regs GROUP BY bucket),
-stats AS (
-  SELECT CAST({m} - COUNT(*) AS BIGINT) AS v,
-         CAST(COALESCE(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register)), 0)
-              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS BIGINT) AS s
-  FROM reg_table
-),
+    block, thr = _hll_pipeline_sql(
+        f"SELECT CAST(user_id AS BIGINT) AS item_id, CAST(ts AS DATE) AS d\n"
+        f"             FROM events WHERE {in_range}")
+    return f"""{block},
 meta AS (
   SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_buckets,
          CAST(COUNT(DISTINCT item_id) AS BIGINT) AS exact_distinct
   FROM ids
-),
-est AS (
-  SELECT s, v,
-         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
-              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / v)
-              ELSE {raw} END AS e
-  FROM stats
 )
 SELECT meta.n_buckets, meta.exact_distinct, est.v AS zero_registers,
        est.s AS scaled_inverse_sum, CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
@@ -346,12 +328,15 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _quantile_query(spark, sf_dir, _mk_td, _td_from_bytes, TD_RANK_EPS)
 
 
-def _quantile_sql() -> str:
-    """Inverse-CDF discrete quantile at rank max(1, ceil(q*n)) — identical
-    IEEE expression to operators/quantiles.rank_of_quantile."""
+def _quantile_pipeline_sql(vals_select: str) -> str:
+    """Shared DuckDB replay of the inverse-CDF discrete quantile at rank
+    max(1, ceil(q*n)) — identical IEEE expression to
+    operators/quantiles.rank_of_quantile. ``vals_select`` must expose one
+    ``x`` column; every quantile oracle (KLL, t-digest, KLL rollup)
+    parameterizes this one copy with its own source rows."""
     qvals = ", ".join(f"({int(round(q * 100))}, CAST({q!r} AS DOUBLE))" for q in QUANTS)
     return f"""
-WITH vals AS (SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+WITH vals AS ({vals_select}),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
 qs AS (SELECT * FROM (VALUES {qvals}) v(q_pct, q)),
 ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM vals)
@@ -361,6 +346,11 @@ FROM qs q CROSS JOIN nn
 JOIN ranked r ON r.rn = GREATEST(1, CAST(CEIL(q.q * nn.n) AS BIGINT))
 ORDER BY q_pct
 """
+
+
+def _quantile_sql() -> str:
+    return _quantile_pipeline_sql(
+        "SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL")
 
 
 def q_cms_grouped_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,10 +637,16 @@ def q_kll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
 
     ev = load(spark, sf_dir, "events")
+    # persist: sketch_rollup_range's isEmpty() probe + merge are two jobs —
+    # without it the whole per-day build runs twice (same pattern as the
+    # CMS/HLL pillars)
     buckets = sketch_time_buckets(ev, "ts", "value", _mk_kll, _kll_from_bytes,
-                                  as_float=True)
-    sk = sketch_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI, _mk_kll,
-                             _kll_from_bytes)
+                                  as_float=True).persist()
+    try:
+        sk = sketch_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI, _mk_kll,
+                                 _kll_from_bytes)
+    finally:
+        buckets.unpersist()
     sel = ev.filter(
         (F.col("ts").cast("date").cast("string") >= ROLLUP_LO)
         & (F.col("ts").cast("date").cast("string") <= ROLLUP_HI)
@@ -671,22 +667,9 @@ def q_kll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kll_time_rollup_sql() -> str:
     from .cms_queries import ROLLUP_HI, ROLLUP_LO
 
-    qvals = ", ".join(f"({int(round(q * 100))}, CAST({q!r} AS DOUBLE))" for q in QUANTS)
-    return f"""
-WITH vals AS (
-  SELECT value AS x FROM events
+    return _quantile_pipeline_sql(f"""SELECT value AS x FROM events
   WHERE value IS NOT NULL AND ts IS NOT NULL
-    AND CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}'
-),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
-qs AS (SELECT * FROM (VALUES {qvals}) v(q_pct, q)),
-ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM vals)
-SELECT CAST(q.q_pct AS BIGINT) AS q_pct, nn.n AS n, r.x AS exact_disc_value,
-       TRUE AS within_rank_bound
-FROM qs q CROSS JOIN nn
-JOIN ranked r ON r.rn = GREATEST(1, CAST(CEIL(q.q * nn.n) AS BIGINT))
-ORDER BY q_pct
-"""
+    AND CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}'""")
 
 
 DYADIC_SEED = 12345
@@ -841,20 +824,26 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_pair_estimates(grouped).orderBy("group_a", "group_b")
 
 
-def _kmv_set_ops_sql() -> str:
+def _kmv_pair_sql(hashed_select: str, pair_cond: str, k: int,
+                  order_by: str) -> str:
+    """Shared DuckDB replay of ``operators/setops.kmv_pair_estimates``:
+    bottom-k state per group (ranked/kept), theta, the pair set from
+    ``pair_cond`` over the theta table, then the integer-floor
+    intersection / union / Jaccard estimators. ``hashed_select`` must
+    expose (g, h). ONE copy of the estimator SQL — a fix to the
+    union-floor exact-case branch or the jaccard_bp zero-guard lands in
+    every oracle that replays the operator (set-ops, retention)."""
     from ..sketches.hashing import MERSENNE_PRIME
 
-    sk = _mk_kmv_set()
-    p, k = MERSENNE_PRIME, sk.k
-    h = affine_sql(sk.a, sk.b, "CAST(o_custkey AS BIGINT)")
+    p = MERSENNE_PRIME
     return f"""
-WITH hashed AS (SELECT DISTINCT o_orderstatus AS g, {h} AS h FROM orders),
+WITH hashed AS ({hashed_select}),
 ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed),
 kept AS (SELECT g, h FROM ranked WHERE rn <= {k}),
 gstats AS (SELECT g, COUNT(*) AS n, MAX(h) AS mx FROM kept GROUP BY g),
 thetas AS (SELECT g, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM gstats),
 pairs AS (SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
-          FROM thetas a JOIN thetas b ON a.g < b.g),
+          FROM thetas a JOIN thetas b ON {pair_cond}),
 common AS (SELECT pr.ga, pr.gb, COUNT(*) AS n_common
            FROM pairs pr
            JOIN kept ka ON ka.g = pr.ga AND ka.h < pr.theta
@@ -883,8 +872,16 @@ FROM pairs pr
 LEFT JOIN common c ON c.ga = pr.ga AND c.gb = pr.gb
 LEFT JOIN union_below ub ON ub.ga = pr.ga AND ub.gb = pr.gb
 JOIN union_stats us ON us.ga = pr.ga AND us.gb = pr.gb
-ORDER BY group_a, group_b
+ORDER BY {order_by}
 """
+
+
+def _kmv_set_ops_sql() -> str:
+    sk = _mk_kmv_set()
+    h = affine_sql(sk.a, sk.b, "CAST(o_custkey AS BIGINT)")
+    return _kmv_pair_sql(
+        f"SELECT DISTINCT o_orderstatus AS g, {h} AS h FROM orders",
+        "a.g < b.g", sk.k, "group_a, group_b")
 
 
 RET_K = 512
@@ -926,54 +923,16 @@ def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmv_retention_sql() -> str:
-    from ..sketches.hashing import MERSENNE_PRIME
-
     sk = _mk_kmv_ret()
-    p, k = MERSENNE_PRIME, sk.k
     h = affine_sql(sk.a, sk.b, "CAST(user_id AS BIGINT)")
-    return f"""
-WITH hashed AS (
-  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS g, {h} AS h
+    hashed = f"""SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS g, {h} AS h
   FROM events
   WHERE CAST(ts AS DATE) BETWEEN DATE '{RET_LO}' AND DATE '{RET_HI}'
-    AND ts IS NOT NULL AND user_id IS NOT NULL),
-ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed),
-kept AS (SELECT g, h FROM ranked WHERE rn <= {k}),
-gstats AS (SELECT g, COUNT(*) AS n, MAX(h) AS mx FROM kept GROUP BY g),
-thetas AS (SELECT g, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM gstats),
-pairs AS (SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
-          FROM thetas a JOIN thetas b
-            ON a.g < b.g AND CAST(b.g AS DATE) = CAST(a.g AS DATE) + 1),
-common AS (SELECT pr.ga, pr.gb, COUNT(*) AS n_common
-           FROM pairs pr
-           JOIN kept ka ON ka.g = pr.ga AND ka.h < pr.theta
-           JOIN kept kb ON kb.g = pr.gb AND kb.h = ka.h
-           GROUP BY pr.ga, pr.gb),
-union_below AS (SELECT pr.ga, pr.gb, COUNT(DISTINCT kk.h) AS n_ub
-                FROM pairs pr
-                JOIN kept kk ON kk.g IN (pr.ga, pr.gb) AND kk.h < pr.theta
-                GROUP BY pr.ga, pr.gb),
-union_ranked AS (
-  SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
-  FROM (SELECT DISTINCT pr.ga, pr.gb, kk.h
-        FROM pairs pr JOIN kept kk ON kk.g IN (pr.ga, pr.gb))),
-union_stats AS (SELECT ga, gb, COUNT(*) AS n_u, MAX(h) AS mx_u
-                FROM union_ranked WHERE rn <= {k} GROUP BY ga, gb)
-SELECT pr.ga AS group_a, pr.gb AS group_b,
-       CAST(pr.theta AS BIGINT) AS theta,
-       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
-       CAST(COALESCE(ub.n_ub, 0) AS BIGINT) AS n_union_below_theta,
-       CAST((CAST(COALESCE(c.n_common, 0) AS BIGINT) * {p}) // pr.theta AS BIGINT) AS inter_floor,
-       CAST(CASE WHEN us.n_u < {k} THEN us.n_u
-                 ELSE (CAST({k - 1} AS BIGINT) * {p}) // us.mx_u END AS BIGINT) AS union_floor,
-       CAST(CASE WHEN COALESCE(ub.n_ub, 0) = 0 THEN 0
-                 ELSE (10000 * COALESCE(c.n_common, 0)) // ub.n_ub END AS BIGINT) AS jaccard_bp
-FROM pairs pr
-LEFT JOIN common c ON c.ga = pr.ga AND c.gb = pr.gb
-LEFT JOIN union_below ub ON ub.ga = pr.ga AND ub.gb = pr.gb
-JOIN union_stats us ON us.ga = pr.ga AND us.gb = pr.gb
-ORDER BY group_a
-"""
+    AND ts IS NOT NULL AND user_id IS NOT NULL"""
+    return _kmv_pair_sql(
+        hashed,
+        "a.g < b.g AND CAST(b.g AS DATE) = CAST(a.g AS DATE) + 1",
+        sk.k, "group_a")
 
 
 # ---------------------------------------------------------------------------

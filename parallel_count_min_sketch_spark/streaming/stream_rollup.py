@@ -24,8 +24,6 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import CMSConfig
 from ..operators.rollup import cms_time_buckets
 
-_OVERWRITE_MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-
 
 def rollup_sink(cfg: CMSConfig, ts_col: str, item_col: str, store_path: str,
                 *, string_items: bool = False):
@@ -33,23 +31,21 @@ def rollup_sink(cfg: CMSConfig, ts_col: str, item_col: str, store_path: str,
     ``store_path``. Use with ``writeStream.foreachBatch(...)`` (any
     trigger, including availableNow backfills). Safe to replay: the
     (batch_id, bucket) partition directories are idempotently
-    overwritten, never appended."""
+    overwritten, never appended. The dynamic overwrite mode is scoped to
+    THIS writer via the per-write option — never set session-wide, so
+    concurrent sinks/jobs on the same SparkSession keep their own
+    overwrite semantics."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         buckets = cms_time_buckets(batch_df, ts_col, item_col, cfg,
                                    string_items=string_items)
-        spark = batch_df.sparkSession
-        prev = spark.conf.get(_OVERWRITE_MODE_KEY, "static")
-        spark.conf.set(_OVERWRITE_MODE_KEY, "dynamic")
-        try:
-            (
-                buckets.withColumn("batch_id", F.lit(int(batch_id)))
-                .write.mode("overwrite")
-                .partitionBy("batch_id", "bucket")
-                .parquet(store_path)
-            )
-        finally:
-            spark.conf.set(_OVERWRITE_MODE_KEY, prev)
+        (
+            buckets.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(store_path)
+        )
 
     return process
 
@@ -87,8 +83,14 @@ def compact_rollup(spark, store_path: str, out_path: str, cfg: CMSConfig) -> Non
     grouped = df.select(
         F.col("bucket").alias("group"), "rows_seen", "sketch"
     )
-    merged = merge_grouped_partials(grouped, fb)
-    write_rollup(merged.withColumnRenamed("group", "bucket"), out_path)
+    merged = merge_grouped_partials(grouped, fb).withColumnRenamed(
+        "group", "bucket")
+    # keep the store schema identical to the batch form (ROLLUP_SCHEMA):
+    # per-day total is the sum of the disjoint batch partials' totals
+    totals = df.groupBy("bucket").agg(F.sum("total").alias("total"))
+    out = merged.join(totals, "bucket").select(
+        "bucket", "rows_seen", "total", "sketch")
+    write_rollup(out, out_path, mode="overwrite")
 
 
 def start_rollup_stream(stream_df: DataFrame, cfg: CMSConfig, ts_col: str,

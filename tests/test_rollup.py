@@ -1,5 +1,7 @@
 """Time-bucketed CMS rollup: linearity, boundaries, partition invariance."""
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -179,13 +181,44 @@ def test_rollup_write_read_partition_pruned(spark, events, tmp_path):
     lo, hi = "2024-01-05", "2024-01-12"
     sel = back.filter((F.col("bucket") >= lo) & (F.col("bucket") <= hi))
     plan = sel._jdf.queryExecution().executedPlan().toString()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and "bucket" in pf[0], plan
+    # 'bucket' must appear INSIDE the PartitionFilters bracket (the scan's
+    # output column list on the same line always contains it, so a plain
+    # substring check would pass vacuously on PartitionFilters: [])
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan
     assert sel.count() == 8  # exactly the covered days survive pruning
 
     merged = cms_rollup_range(back, lo, hi, CFG)
     direct = cms_rollup_range(buckets, lo, hi, CFG)
     assert merged.to_bytes() == direct.to_bytes()
+
+
+def test_rollup_rewrite_day_is_idempotent(spark, events, tmp_path):
+    """Re-running a day's build (retry/backfill) through the default
+    overwrite mode must replace that day's directory, not double-count:
+    the range merge answers identical bytes after the re-write, and only
+    the re-written day's directory is touched (other days keep their
+    rows)."""
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        read_rollup,
+        write_rollup,
+    )
+
+    buckets = cms_time_buckets(events, "ts", "user_id", CFG).persist()
+    path = str(tmp_path / "rollup_store")
+    write_rollup(buckets, path)
+    lo, hi = "2024-01-05", "2024-01-12"
+    before = cms_rollup_range(read_rollup(spark, path), lo, hi, CFG).to_bytes()
+
+    # retry of one day inside the range: same content, written again
+    day = buckets.filter(F.col("bucket") == "2024-01-07")
+    assert day.count() == 1
+    write_rollup(day, path)
+    buckets.unpersist()
+
+    back = read_rollup(spark, path)
+    assert cms_rollup_range(back, lo, hi, CFG).to_bytes() == before
+    # one row per day survived: the day was replaced, not appended
+    assert back.count() == back.select("bucket").distinct().count()
 
 
 def test_rollup_estimates_one_sided(spark, events):

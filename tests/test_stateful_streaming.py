@@ -33,7 +33,7 @@ def test_stateful_grouped_cms_equals_batch(spark, tmp_path):
         .outputMode("update").trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ckpt")).start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not drain"
 
     # last emitted row per group = final state
     rows = spark.sql(
@@ -91,7 +91,7 @@ def test_stateful_grouped_sketch_mg_exact_when_k_large(spark, tmp_path):
         .outputMode("update").trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ckpt_mg")).start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "stream did not drain"
 
     latest: dict[str, bytes] = {}
     totals: dict[str, int] = {}

@@ -48,7 +48,7 @@ def test_stream_rollup_equals_batch_rollup(spark, tmp_path, events, staged_event
     store = str(tmp_path / "rollup_store")
     q = start_rollup_stream(stream, CFG, "ts", "user_id", store,
                             str(tmp_path / "ckpt"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain within 180s"
 
     streamed = read_stream_rollup(spark, store)
     # a day spanning both micro-batches carries two partial rows

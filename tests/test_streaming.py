@@ -40,7 +40,7 @@ def test_stream_build_equals_batch_build(spark, tmp_path, staged_pages):
     )
     acc = StreamingCMS(CFG, "text", state_path=str(tmp_path / "cms.bin"))
     q = acc.start(stream, str(tmp_path / "ckpt"), trigger_once=True)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain"
     expected = build_cms_from_text(both, "text", CFG)
     assert acc.batches_seen >= 2
     assert acc.sketch.to_bytes() == expected.to_bytes()
@@ -56,7 +56,7 @@ def test_stream_resume_from_state(spark, tmp_path):
 
     acc1 = StreamingCMS(CFG, "text", state_path=state)
     q = acc1.start(spark.readStream.schema(schema).parquet(src), ckpt, trigger_once=True)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain"
     assert os.path.exists(state)
 
     # new data arrives; a NEW accumulator (simulated driver restart) picks up
@@ -65,7 +65,7 @@ def test_stream_resume_from_state(spark, tmp_path):
     b.write.mode("append").parquet(src)
     acc2 = StreamingCMS(CFG, "text", state_path=state)
     q2 = acc2.start(spark.readStream.schema(schema).parquet(src), ckpt, trigger_once=True)
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(180), "stream did not drain"
 
     expected = build_cms_from_text(a.unionByName(b), "text", CFG)
     assert acc2.sketch.to_bytes() == expected.to_bytes()
@@ -101,7 +101,7 @@ def test_state_refuses_foreign_checkpoint_dir(spark, tmp_path):
     acc1 = StreamingCMS(CFG, "text", state_path=state)
     q = acc1.start(spark.readStream.schema(schema).parquet(src),
                    str(tmp_path / "ckptA"), trigger_once=True)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain"
 
     acc2 = StreamingCMS(CFG, "text", state_path=state)
     with pytest.raises(ValueError, match="batch ids restart"):
@@ -120,7 +120,7 @@ def test_windowed_token_counts_matches_batch(spark, tmp_path, staged_pages):
         .outputMode("complete").trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ckpt2")).start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain"
     got = {
         (r["window"]["start"], r["tok"]): r["count"]
         for r in spark.sql("SELECT * FROM win_counts").collect()
