@@ -251,6 +251,21 @@ _GROUPED_PA = pa.schema(
 )
 
 
+def _emit_grouped_partials(sketches: dict, counts: dict):
+    """The shared tail of every grouped partial builder: one RecordBatch
+    of (group, rows_seen, sketch) rows for this partition — ONE copy of
+    the emit contract, so a schema change lands in every builder."""
+    if sketches:
+        yield pa.RecordBatch.from_pydict(
+            {
+                "group": list(sketches.keys()),
+                "rows_seen": [counts[g] for g in sketches],
+                "sketch": [sketches[g].to_bytes() for g in sketches],
+            },
+            schema=_GROUPED_PA,
+        )
+
+
 def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable, *,
                             string_items: bool = False, as_float: bool = False,
                             weight_col: str | None = None):
@@ -289,15 +304,7 @@ def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable,
                     sketches[g] = sk
                     counts[g] = 0
                 counts[g] += _weighted_update(sk, seg, wseg)
-        if sketches:
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "group": list(sketches.keys()),
-                    "rows_seen": [counts[g] for g in sketches],
-                    "sketch": [sketches[g].to_bytes() for g in sketches],
-                },
-                schema=_GROUPED_PA,
-            )
+        yield from _emit_grouped_partials(sketches, counts)
 
     return proj.mapInArrow(fold, GROUPED_SCHEMA)
 
@@ -385,15 +392,7 @@ def text_token_grouped_partials(df, group_col: str, text_col: str,
                     counts[g] += _weighted_update(
                         sk, djb2_batch(vals.slice(lo, _CHUNK)),
                         w[lo:lo + _CHUNK])
-        if sketches:
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "group": list(sketches.keys()),
-                    "rows_seen": [counts[g] for g in sketches],
-                    "sketch": [sketches[g].to_bytes() for g in sketches],
-                },
-                schema=_GROUPED_PA,
-            )
+        yield from _emit_grouped_partials(sketches, counts)
 
     return proj.mapInArrow(fold, GROUPED_SCHEMA)
 
