@@ -11,7 +11,7 @@ the pristine test tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import textstats as ts
 from ..operators import dedup as dd
@@ -993,6 +993,77 @@ ORDER BY df DESC, tf DESC, token
 """
 
 
+TFIDF_TOP_K = 3          # distinctive terms kept per document
+TFIDF_IDF_SCALE = 1_000_000  # fixed-point idf: (N_docs * SCALE) div df
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: top-K tokens by a TF-IDF-style
+    score, kept integer-exact so the DuckDB oracle can value-hash it —
+    ``score = tf * ((N_docs * SCALE) div df)`` in 64-bit integer
+    arithmetic (no floating-point log, no ulp drift between engines).
+
+    Scale shape: (1) one explode + groupBy(doc_id, tok) — partial/final
+    agg, the map-side combine collapses each doc's repeats before the
+    shuffle (docs are partition-local); (2) df folds from that same
+    (doc, DISTINCT token) stream with a bounded groupBy(tok); (3) the
+    tf←→df join shuffles on tok (both sides already hash-partitioned by
+    the aggs — AQE reuses the exchange where it can); (4) per-doc top-K
+    is a window over doc_id — high-cardinality partition key, tiny
+    per-partition sort. No distinct-universe collect, no cross join,
+    no float.
+
+    Beyond-reference training-data operator (the reference has no
+    document scoring); the tf/df rails match ``q_vocab_stats``."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        dt.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.expr(f"(_n * CAST({TFIDF_IDF_SCALE} AS BIGINT)) div df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", F.col("tok").alias("token"), "tf", "df",
+                "score", F.col("rank").cast("long").alias("rank"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _sql_tfidf_top_terms() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+dt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks WHERE tok <> '' GROUP BY 1, 2),
+dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT dt.doc_id, dt.tok, dt.tf, dfs.df,
+         dt.tf * ((n.n * CAST({TFIDF_IDF_SCALE} AS BIGINT)) // dfs.df)
+           AS score
+  FROM dt JOIN dfs USING (tok), n),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+      FROM scored)
+SELECT doc_id, tok AS token, tf, df, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
+"""
+
+
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join over the event stream: for every click, the
     value of that user's most recent purchase at or before the click
@@ -1086,6 +1157,7 @@ TEXTDATA_QUERIES = {
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
     "stratified_sample_docs": (q_stratified_sample_docs, _sql_stratified_sample()),
     "vocab_stats": (q_vocab_stats, _sql_vocab_stats()),
+    "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, _sql_pipeline_clean_corpus()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
