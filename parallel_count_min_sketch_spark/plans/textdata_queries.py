@@ -1064,6 +1064,102 @@ FROM r WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
 """
 
 
+REP_SCALE = 1_000_000  # fixed-point parts-per-million for ratio columns
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher/C4-style quality
+    cuts a web-scale training pipeline filters on): distinct-token
+    ratio, top-token share, and top-bigram share — integer-exact in
+    parts-per-million so the DuckDB oracle value-hashes bit-for-bit
+    (no float division).
+
+    Scale shape: unigram stats ride the same explode →
+    groupBy(doc_id, tok) rails as ``vocab_stats`` (docs are
+    partition-local, so the map-side combine collapses in-doc repeats
+    before the shuffle); bigrams are built doc-locally with
+    whole-stage-codegen array functions (slice + zip_with — no
+    self-join, no window over token positions) and fold through the
+    same two-level agg. The final per-doc join keys on doc_id, which
+    both sides are already hash-partitioned on. Beyond-reference
+    training-data operator."""
+    docs = load(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks_arr.alias("l"))
+
+    uni = (
+        base.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.count(F.lit(1)).alias("n_distinct"),
+             F.max("c").alias("top_tok_tf"))
+    )
+    bigrams = F.expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
+        "         slice(l, 2, greatest(size(l) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))")
+    big = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"),
+             F.max("c").alias("top_bigram_tf"))
+    )
+    s = F.lit(REP_SCALE).cast("long")
+    return (
+        uni.join(big, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_distinct", "top_tok_tf",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("top_bigram_tf", F.lit(0)).cast("long")
+            .alias("top_bigram_tf"),
+            F.expr(f"(n_distinct * CAST({REP_SCALE} AS BIGINT))"
+                   " div n_tokens").alias("distinct_ppm"),
+            F.expr(f"(top_tok_tf * CAST({REP_SCALE} AS BIGINT))"
+                   " div n_tokens").alias("top_tok_ppm"),
+            F.expr(f"CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN 0"
+                   f" ELSE (top_bigram_tf * CAST({REP_SCALE} AS BIGINT))"
+                   " div n_bigrams END").alias("top_bigram_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_doc_repetition() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+u0 AS (SELECT doc_id, unnest(l) AS tok FROM t),
+uni AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM u0 GROUP BY 1, 2),
+us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(MAX(c) AS BIGINT) AS top_tok_tf
+       FROM uni GROUP BY 1),
+b0 AS (SELECT doc_id, l,
+              unnest(generate_series(1, length(l) - 1)) AS i FROM t),
+bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg FROM b0),
+bc AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+       FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+              CAST(MAX(c) AS BIGINT) AS top_bigram_tf
+       FROM bc GROUP BY 1)
+SELECT us.doc_id, us.n_tokens, us.n_distinct, us.top_tok_tf,
+       CAST(COALESCE(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(bs.top_bigram_tf, 0) AS BIGINT) AS top_bigram_tf,
+       (us.n_distinct * CAST({REP_SCALE} AS BIGINT)) // us.n_tokens
+         AS distinct_ppm,
+       (us.top_tok_tf * CAST({REP_SCALE} AS BIGINT)) // us.n_tokens
+         AS top_tok_ppm,
+       CASE WHEN bs.n_bigrams IS NULL OR bs.n_bigrams = 0 THEN 0
+            ELSE (bs.top_bigram_tf * CAST({REP_SCALE} AS BIGINT))
+                   // bs.n_bigrams END AS top_bigram_ppm
+FROM us LEFT JOIN bs USING (doc_id) ORDER BY us.doc_id
+"""
+
+
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join over the event stream: for every click, the
     value of that user's most recent purchase at or before the click
@@ -1158,6 +1254,7 @@ TEXTDATA_QUERIES = {
     "stratified_sample_docs": (q_stratified_sample_docs, _sql_stratified_sample()),
     "vocab_stats": (q_vocab_stats, _sql_vocab_stats()),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
+    "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, _sql_pipeline_clean_corpus()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
