@@ -570,3 +570,50 @@ def test_embedding_near_dups_hot_bucket_capped(spark):
     assert not (ids & set(range(500)))  # hot bucket dropped entirely
     assert len(out) <= 10  # cool cluster pairs only, bounded
     assert all(r["cosine_bp"] >= 9500 for r in out)
+
+
+def test_repetition_and_tfidf_edge_parity_with_oracle(spark, tmp_path):
+    """doc_repetition / tfidf_top_terms cross-engine parity on the edge
+    inputs the sf fixtures never contain: NULL text, empty text,
+    whitespace-only text, a 1-token doc (no bigrams), and a fully
+    repeated doc (top shares saturate at 10^6 ppm)."""
+    import duckdb
+
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_doc_repetition,
+        q_tfidf_top_terms,
+        _sql_doc_repetition,
+        _sql_tfidf_top_terms,
+    )
+
+    rows = [
+        (1, "a a a a"),           # fully repeated: distinct=1, shares = 10^6
+        (2, "x"),                 # single token: zero bigrams
+        (3, ""),                  # empty: drops from output entirely
+        (4, None),                # NULL: drops from output entirely
+        (5, "  a  b "),           # whitespace runs: empty tokens filtered
+        (6, "a b a b a"),         # top bigram 'a b' count 2 of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    duck = duckdb.connect()
+    duck.sql(  # Spark writes a parquet DIRECTORY; DuckDB needs the glob
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf_dir}/documents.parquet/*.parquet'")
+    for q, sql in ((q_doc_repetition, _sql_doc_repetition()),
+                   (q_tfidf_top_terms, _sql_tfidf_top_terms())):
+        got = [tuple(r) for r in q(spark, sf_dir).collect()]
+        want = duck.sql(sql).fetchall()
+        assert got == want and len(got) > 0
+    duck.close()
+
+    rep = {r["doc_id"]: r for r in q_doc_repetition(spark, sf_dir).collect()}
+    assert set(rep) == {1, 2, 5, 6}          # 3 (empty) and 4 (NULL) dropped
+    assert rep[1]["distinct_ppm"] == 250_000
+    assert rep[1]["top_tok_ppm"] == 1_000_000
+    assert rep[1]["top_bigram_ppm"] == 1_000_000
+    assert rep[2]["n_bigrams"] == 0 and rep[2]["top_bigram_ppm"] == 0
+    assert rep[5]["n_tokens"] == 2           # empty tokens filtered
+    assert rep[6]["top_bigram_tf"] == 2 and rep[6]["n_bigrams"] == 4
