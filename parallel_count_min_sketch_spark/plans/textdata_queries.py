@@ -1189,6 +1189,50 @@ ORDER BY c.event_id
 """
 
 
+ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # attribution window: ±6h
+
+
+def q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-range) join: for every purchase, the number of
+    same-user clicks within ±6h (operators/interval_join — bucketized
+    equi-join on (user, time-bucket), exact predicate after bucket
+    collocation; a BroadcastNestedLoopJoin never appears, gated in the
+    plan audit). The DuckDB oracle replays it with a plain inequality
+    join, cross-validating the bucket arithmetic — a right row landing
+    one bucket over from its left match is exactly the bug the oracle
+    would catch."""
+    from ..operators.interval_join import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", F.col("ts").alias("click_ts"))
+    pairs = interval_join(p, c, "user_id", "ts", "click_ts",
+                          window_us=ATTR_WINDOW_US)
+    counts = pairs.groupBy("event_id") \
+        .agg(F.count(F.lit(1)).alias("n_clicks_6h"))
+    return (
+        p.join(counts, "event_id", "left")
+        .select("event_id", "user_id",
+                F.coalesce("n_clicks_6h", F.lit(0)).cast("long")
+                .alias("n_clicks_6h"))
+        .orderBy("event_id")
+    )
+
+
+SQL_PURCHASE_CLICK_ATTRIBUTION = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_6h
+FROM p LEFT JOIN c ON p.user_id = c.user_id
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - {ATTR_WINDOW_US}
+                        AND epoch_us(p.ts) + {ATTR_WINDOW_US}
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
 
 
@@ -1272,6 +1316,8 @@ TEXTDATA_QUERIES = {
     "ann_ivf": (q_ann_ivf, _sql_ann_ivf()),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "purchase_click_attribution": (q_purchase_click_attribution,
+                                   SQL_PURCHASE_CLICK_ATTRIBUTION),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),

@@ -299,3 +299,24 @@ def test_rollup_pre_aggregate_plan(spark):
     assert partial_pos > arrow_pos and final_agg_pos > arrow_pos, (
         "the (day,item) count agg must sit below the Arrow stage:\n" + final
     )
+
+
+def test_interval_join_plan_is_bucket_equi_join(spark):
+    """The interval join must execute as an EQUI-join on (key, bucket) —
+    the naive range predicate would fall back to BroadcastNestedLoopJoin
+    (small side) or a per-row filtered join (skewed key); the bucketized
+    form must show neither a BNLJ nor a cartesian product, and the exact
+    |rt-lt| predicate must sit above an equi-join."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_purchase_click_attribution,
+    )
+
+    df = q_purchase_click_attribution(spark, "/root/testdata/sf0.001")
+    plan = _plan(df, execute=True)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the candidate join is an equi-join on (user_id, _bucket)
+    assert "_bucket" in plan, plan
+    assert ("BroadcastHashJoin [user_id" in plan
+            or "SortMergeJoin [user_id" in plan
+            or "ShuffledHashJoin [user_id" in plan), plan
