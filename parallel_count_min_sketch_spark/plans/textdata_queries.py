@@ -1189,6 +1189,86 @@ ORDER BY c.event_id
 """
 
 
+CONTAM_SHINGLE_K = 5   # n-gram length for benchmark-overlap detection
+CONTAM_BENCH_MOD = 50  # benchmark slice: doc_id % 50 == 0 (held-out set)
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3-style n-gram overlap check a
+    training pipeline runs before shipping a corpus: flag training docs
+    sharing any K-token shingle with a held-out benchmark set (here the
+    deterministic doc_id % {mod} == 0 slice stands in for the benchmark).
+
+    Scale shape: shingling and per-doc dedup happen DOC-LOCALLY in
+    whole-stage codegen (transform over the token array + array_distinct
+    — no (doc, token) shuffle); the benchmark's distinct-shingle set is
+    tiny relative to the corpus (benchmarks are fixed-size; the corpus is
+    the 100 TB side) and rides a broadcast, so the overlap count is a
+    broadcast semi-probe per exploded corpus shingle followed by one
+    partial/final groupBy(doc_id). Docs with no shingles (< K tokens)
+    stay in the output with zero overlap via the doc-table left join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')")
+    k, mod = CONTAM_SHINGLE_K, CONTAM_BENCH_MOD
+    # Spark's sequence(1, 0) counts DOWN ([1, 0], default step -1) where
+    # DuckDB's generate_series(1, 0) is empty — guard short docs explicitly
+    sh = F.expr(
+        f"CASE WHEN size(_l) >= {k} THEN"
+        f" array_distinct(transform(sequence(1, size(_l) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(_l, i, {k}))))"
+        f" ELSE CAST(array() AS array<string>) END")
+    base = docs.select("doc_id", toks.alias("_l")).select(
+        "doc_id", sh.alias("_sh"))
+    bench = (
+        base.filter(F.col("doc_id") % mod == 0)
+        .select(F.explode("_sh").alias("shingle")).distinct()
+    )
+    corpus = base.filter(F.col("doc_id") % mod != 0)
+    overlap = (
+        corpus.select("doc_id", F.explode("_sh").alias("shingle"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id", F.size("_sh").cast("long").alias("n_shingles"))
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).cast("long")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_benchmark_contamination() -> str:
+    k, mod = CONTAM_SHINGLE_K, CONTAM_BENCH_MOD
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS l
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - {k - 1}, 0)),
+           i -> array_to_string(l[i:i + {k - 1}], ' '))) AS sh
+  FROM t),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % {mod} = 0),
+corpus AS (SELECT doc_id, sh FROM s WHERE doc_id % {mod} <> 0),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM corpus),
+ov AS (SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM ex JOIN bench USING (shingle) GROUP BY 1)
+SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM corpus c LEFT JOIN ov USING (doc_id) ORDER BY c.doc_id
+"""
+
+
 ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # attribution window: ±6h
 
 
@@ -1299,6 +1379,8 @@ TEXTDATA_QUERIES = {
     "vocab_stats": (q_vocab_stats, _sql_vocab_stats()),
     "tfidf_top_terms": (q_tfidf_top_terms, _sql_tfidf_top_terms()),
     "doc_repetition": (q_doc_repetition, _sql_doc_repetition()),
+    "benchmark_contamination": (q_benchmark_contamination,
+                                _sql_benchmark_contamination()),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, _sql_pipeline_clean_corpus()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -580,8 +580,10 @@ def test_repetition_and_tfidf_edge_parity_with_oracle(spark, tmp_path):
     import duckdb
 
     from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_benchmark_contamination,
         q_doc_repetition,
         q_tfidf_top_terms,
+        _sql_benchmark_contamination,
         _sql_doc_repetition,
         _sql_tfidf_top_terms,
     )
@@ -593,6 +595,8 @@ def test_repetition_and_tfidf_edge_parity_with_oracle(spark, tmp_path):
         (4, None),                # NULL: drops from output entirely
         (5, "  a  b "),           # whitespace runs: empty tokens filtered
         (6, "a b a b a"),         # top bigram 'a b' count 2 of 4
+        (50, "a b a b a c"),      # benchmark slice (id%50==0): shares the
+                                  # 5-shingle 'a b a b a' with doc 6
     ]
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     sf_dir = str(tmp_path)
@@ -603,14 +607,23 @@ def test_repetition_and_tfidf_edge_parity_with_oracle(spark, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM"
         f" '{sf_dir}/documents.parquet/*.parquet'")
     for q, sql in ((q_doc_repetition, _sql_doc_repetition()),
-                   (q_tfidf_top_terms, _sql_tfidf_top_terms())):
+                   (q_tfidf_top_terms, _sql_tfidf_top_terms()),
+                   (q_benchmark_contamination,
+                    _sql_benchmark_contamination())):
         got = [tuple(r) for r in q(spark, sf_dir).collect()]
         want = duck.sql(sql).fetchall()
         assert got == want and len(got) > 0
     duck.close()
 
+    con = {r["doc_id"]: r for r in
+           q_benchmark_contamination(spark, sf_dir).collect()}
+    assert 50 not in con                     # benchmark slice excluded
+    assert con[6]["n_overlap"] == 1 and con[6]["contaminated"] == 1
+    assert con[1]["n_overlap"] == 0 and con[1]["contaminated"] == 0
+    assert con[2]["n_shingles"] == 0         # <K tokens: zero shingles, kept
+
     rep = {r["doc_id"]: r for r in q_doc_repetition(spark, sf_dir).collect()}
-    assert set(rep) == {1, 2, 5, 6}          # 3 (empty) and 4 (NULL) dropped
+    assert set(rep) == {1, 2, 5, 6, 50}      # 3 (empty) and 4 (NULL) dropped
     assert rep[1]["distinct_ppm"] == 250_000
     assert rep[1]["top_tok_ppm"] == 1_000_000
     assert rep[1]["top_bigram_ppm"] == 1_000_000
