@@ -1015,7 +1015,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Beyond-reference training-data operator (the reference has no
     document scoring); the tf/df rails match ``q_vocab_stats``."""
-    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms_df(load(spark, sf_dir, "documents"))
+
+
+def tfidf_top_terms_df(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_tfidf_top_terms` over any ``(doc_id, text)``
+    DataFrame — split out so scale benches can drive it on synthetic
+    corpora (scripts/text_ops_bench.py)."""
     toks = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
@@ -1083,7 +1089,12 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-level agg. The final per-doc join keys on doc_id, which
     both sides are already hash-partitioned on. Beyond-reference
     training-data operator."""
-    docs = load(spark, sf_dir, "documents")
+    return doc_repetition_df(load(spark, sf_dir, "documents"))
+
+
+def doc_repetition_df(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_doc_repetition` over any ``(doc_id, text)``
+    DataFrame (scale benches drive it on synthetic corpora)."""
     toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", toks_arr.alias("l"))
 
@@ -1207,7 +1218,13 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast semi-probe per exploded corpus shingle followed by one
     partial/final groupBy(doc_id). Docs with no shingles (< K tokens)
     stay in the output with zero overlap via the doc-table left join."""
-    docs = load(spark, sf_dir, "documents")
+    return benchmark_contamination_df(load(spark, sf_dir, "documents"))
+
+
+def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
+    """Core of :func:`q_benchmark_contamination` over any
+    ``(doc_id, text)`` DataFrame (scale benches drive it on synthetic
+    corpora)."""
     toks = F.expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')")
     k, mod = CONTAM_SHINGLE_K, CONTAM_BENCH_MOD
     # Spark's sequence(1, 0) counts DOWN ([1, 0], default step -1) where
