@@ -285,6 +285,40 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER extraction — the step after pair generation in a
+    dedup pipeline (keep-one-per-cluster needs the transitive closure of
+    the pair list, not the pairs): connected components of the SimHash
+    near-dup graph via distributed min-label propagation with pointer
+    jumping (operators/components.py — O(log diameter) rounds, two
+    equi-join shuffles per round, lineage truncated per round). Output is
+    (node, component = min doc id reachable), deterministic. The DuckDB
+    oracle replays the FIXPOINT itself with a recursive CTE, so the
+    iterative algorithm is value-gated, not just rows-gated."""
+    from ..operators.components import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dd.simhash_near_dups(docs, "doc_id", max_hamming=1) \
+        .select("id_a", "id_b")
+    return connected_components(pairs, "id_a", "id_b").orderBy("node")
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_simhash_near_dups()}),
+e AS (SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+cc AS (
+  SELECT node, node AS comp FROM n
+  UNION
+  SELECT e.t AS node, cc.comp FROM cc JOIN e ON cc.node = e.s
+)
+SELECT node, CAST(MIN(comp) AS BIGINT) AS component
+FROM cc GROUP BY node ORDER BY node
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard over adjacent-doc pairs (verification-style pairwise
     similarity on a candidate list)."""
@@ -1409,6 +1443,7 @@ TEXTDATA_QUERIES = {
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_near_dups": (q_simhash_near_dups, _sql_simhash_near_dups()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
     "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),
