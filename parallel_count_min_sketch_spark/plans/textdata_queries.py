@@ -319,6 +319,48 @@ FROM cc GROUP BY node ORDER BY node
 """
 
 
+def q_near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup dedup pipeline output: SimHash pair
+    generation → connected components → keep the canonical (min-id) doc
+    of every cluster, plus every unclustered doc. The non-canonical set
+    is tiny (cluster members minus one per cluster), so the final prune
+    is a broadcast anti-join against the full corpus — the 100-TB side
+    never shuffles. Returns (doc_id, n_chars) of the cleaned corpus."""
+    from ..operators.components import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dd.simhash_near_dups(docs, "doc_id", max_hamming=1) \
+        .select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    drop = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias("doc_id"))
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+def _sql_near_dedup_kept_docs() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_simhash_near_dups()}),
+e AS (SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+n AS (SELECT DISTINCT s AS node FROM e),
+cc AS (
+  SELECT node, node AS comp FROM n
+  UNION
+  SELECT e.t AS node, cc.comp FROM cc JOIN e ON cc.node = e.s
+),
+lbl AS (SELECT node, MIN(comp) AS component FROM cc GROUP BY node),
+drop_ids AS (SELECT node AS doc_id FROM lbl WHERE node <> component),
+docs AS ({_DUCK_DOCS_WITH_DUPS})
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM docs d ANTI JOIN drop_ids x ON d.doc_id = x.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard over adjacent-doc pairs (verification-style pairwise
     similarity on a candidate list)."""
@@ -1444,6 +1486,8 @@ TEXTDATA_QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, _sql_simhash_near_dups()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
+    "near_dedup_kept_docs": (q_near_dedup_kept_docs,
+                             _sql_near_dedup_kept_docs()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
     "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),
