@@ -49,10 +49,16 @@ def connected_components(edges: DataFrame, src: str, dst: str, *,
     e = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t"))) \
         .distinct().persist()
 
+    # convergence witness: labels only decrease, so the label sum strictly
+    # falls until fixpoint. Summed as DECIMAL(38,0) — an int64 sum of 64-bit
+    # node ids (hash-valued fingerprints, sparse ids) overflows, and Spark
+    # 4's default ANSI mode turns that into an ArithmeticException at
+    # exactly the scale this operator targets.
+    _wit = F.sum(F.col("comp").cast("decimal(38,0)"))
     labels = e.select(F.col("s").alias("node")).distinct() \
         .select("node", F.col("node").alias("comp")) \
         .localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    prev_sum = labels.agg(_wit).first()[0]
 
     try:
         for rounds in range(1, max_iter + 1):
@@ -71,7 +77,7 @@ def connected_components(edges: DataFrame, src: str, dst: str, *,
                         .alias("comp"))
             )
             labels = jumped.localCheckpoint(eager=True)
-            cur_sum = labels.agg(F.sum("comp")).first()[0]
+            cur_sum = labels.agg(_wit).first()[0]
             if cur_sum == prev_sum:
                 if stats is not None:
                     stats["rounds"] = rounds

@@ -303,9 +303,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b").orderBy("node")
 
 
-def _sql_dedup_components() -> str:
-    return f"""
-WITH RECURSIVE pairs AS ({_sql_simhash_near_dups()}),
+def _sql_cc_block() -> str:
+    """The shared recursive-CTE fixpoint over the SimHash near-dup graph:
+    CTE list `pairs → e (symmetrized) → n → cc → lbl(node, component)` —
+    ONE copy of the closure SQL, consumed by both components oracles so
+    a fix to the fixpoint can't silently diverge between them."""
+    return f"""pairs AS ({_sql_simhash_near_dups()}),
 e AS (SELECT id_a AS s, id_b AS t FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
 n AS (SELECT DISTINCT s AS node FROM e),
@@ -313,9 +316,15 @@ cc AS (
   SELECT node, node AS comp FROM n
   UNION
   SELECT e.t AS node, cc.comp FROM cc JOIN e ON cc.node = e.s
-)
-SELECT node, CAST(MIN(comp) AS BIGINT) AS component
-FROM cc GROUP BY node ORDER BY node
+),
+lbl AS (SELECT node, CAST(MIN(comp) AS BIGINT) AS component
+        FROM cc GROUP BY node)"""
+
+
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE {_sql_cc_block()}
+SELECT node, component FROM lbl ORDER BY node
 """
 
 
@@ -343,16 +352,7 @@ def q_near_dedup_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_near_dedup_kept_docs() -> str:
     return f"""
-WITH RECURSIVE pairs AS ({_sql_simhash_near_dups()}),
-e AS (SELECT id_a AS s, id_b AS t FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-n AS (SELECT DISTINCT s AS node FROM e),
-cc AS (
-  SELECT node, node AS comp FROM n
-  UNION
-  SELECT e.t AS node, cc.comp FROM cc JOIN e ON cc.node = e.s
-),
-lbl AS (SELECT node, MIN(comp) AS component FROM cc GROUP BY node),
+WITH RECURSIVE {_sql_cc_block()},
 drop_ids AS (SELECT node AS doc_id FROM lbl WHERE node <> component),
 docs AS ({_DUCK_DOCS_WITH_DUPS})
 SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
@@ -1069,8 +1069,15 @@ ORDER BY df DESC, tf DESC, token
 """
 
 
-TFIDF_TOP_K = 3          # distinctive terms kept per document
-TFIDF_IDF_SCALE = 1_000_000  # fixed-point idf: (N_docs * SCALE) div df
+TFIDF_TOP_K = 3        # distinctive terms kept per document
+# Fixed-point idf: (N_docs * SCALE) div df. int64 headroom bound:
+# max score = tf * N_docs * SCALE must stay under 2^63, i.e.
+# N_docs * tf <= 9.2e14 at SCALE=1e4 — 2.5e10 docs (100 TB of 4 KB
+# docs) with per-doc term counts up to ~36k, far past any real doc
+# (and the doc_repetition filter removes the spam shapes first).
+# Under Spark 4's default ANSI mode an overflow would otherwise abort
+# the job rather than wrap.
+TFIDF_IDF_SCALE = 10_000
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

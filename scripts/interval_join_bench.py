@@ -71,7 +71,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"window_us": H_US, "span_days": 30}
 
-    # --- Regime A: skewed (hot key = 10% of both sides) -------------------
+    # --- Regime A: skewed (hot key = 5% of both sides) ----------------------
     NL, NR = 200_000, 1_000_000
     left = make_events(spark, NL, 1000, 5, "l").cache()
     right = make_events(spark, NR, 1000, 5, "r").cache()

@@ -301,7 +301,7 @@ def test_rollup_pre_aggregate_plan(spark):
     )
 
 
-def test_interval_join_plan_is_bucket_equi_join(spark):
+def test_interval_join_plan_is_bucket_equi_join(spark, sf_dir):
     """The interval join must execute as an EQUI-join on (key, bucket) —
     the naive range predicate would fall back to BroadcastNestedLoopJoin
     (small side) or a per-row filtered join (skewed key); the bucketized
@@ -311,7 +311,7 @@ def test_interval_join_plan_is_bucket_equi_join(spark):
         q_purchase_click_attribution,
     )
 
-    df = q_purchase_click_attribution(spark, "/root/testdata/sf0.001")
+    df = q_purchase_click_attribution(spark, sf_dir)
     plan = _plan(df, execute=True)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
