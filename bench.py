@@ -100,6 +100,16 @@ BENCH_QUERIES = [
     "event_sessions",
     "cms_time_rollup",
     "kmv_retention",
+    # round-4 additions
+    "tfidf_top_terms",
+    "doc_repetition",
+    "benchmark_contamination",
+    "purchase_click_attribution",
+    # (dedup_components / near_dedup_kept_docs are gate-checked but not
+    # timed here: on the template-heavy synthetic docs the SimHash pair
+    # graph is ~2M genuine edges at sf0.1, so the timing measures pair
+    # volume, not the closure operator — BENCH/components_scale.json
+    # carries the operator's own 10M-edge evidence)
 ]
 
 
