@@ -1283,6 +1283,58 @@ ORDER BY c.event_id
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table — the sanity pass a
+    pipeline runs before training on a new snapshot: per column, row
+    count, null count, exact distinct count, and (numeric columns)
+    min/max. ONE pass over the table: every metric is an aggregate
+    expression in a single agg() (Catalyst computes them all in one
+    partial/final cycle — no per-column scans), then unpivoted to
+    long form (col_name, metric, value) driver-free via stack()."""
+    docs = load(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                    .alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"distinct_{c}"))
+    for c in ("doc_id", "n_chars"):
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    one = docs.agg(*aggs)
+    pairs = []
+    for name in one.columns:
+        pairs.append(f"'{name}'")
+        pairs.append(f"CAST({name} AS BIGINT)")
+    return (
+        one.select(F.expr(
+            f"stack({len(one.columns)}, {', '.join(pairs)})"
+            " AS (metric, value)"))
+        .orderBy("metric")
+    )
+
+
+def _sql_table_profile() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    metrics = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c in cols:
+        metrics.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nulls_{c}")
+        metrics.append(
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_{c}")
+    for c in ("doc_id", "n_chars"):
+        metrics.append(f"CAST(MIN({c}) AS BIGINT) AS min_{c}")
+        metrics.append(f"CAST(MAX({c}) AS BIGINT) AS max_{c}")
+    names = [m.split(" AS ")[-1] for m in metrics]
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{n}' AS metric, {n} AS value FROM one" for n in names)
+    return f"""
+WITH one AS (SELECT {', '.join(metrics)} FROM documents)
+SELECT metric, value FROM ({unpivot}) ORDER BY metric
+"""
+
+
 CONTAM_SHINGLE_K = 5   # n-gram length for benchmark-overlap detection
 CONTAM_BENCH_MOD = 50  # benchmark slice: doc_id % 50 == 0 (held-out set)
 
@@ -1474,6 +1526,7 @@ FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
 
 TEXTDATA_QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "table_profile": (q_table_profile, _sql_table_profile()),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),
     "stratified_sample_docs": (q_stratified_sample_docs, _sql_stratified_sample()),
     "vocab_stats": (q_vocab_stats, _sql_vocab_stats()),
