@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "cms_time_rollup",
     "kmv_retention",
     # round-4 additions
+    "table_profile",
     "tfidf_top_terms",
     "doc_repetition",
     "benchmark_contamination",

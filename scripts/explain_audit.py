@@ -39,6 +39,7 @@ AUDITED = [
     ("asof_last_purchase", "as-of join: union + one window per key, no BroadcastNestedLoopJoin / range explosion"),
     ("purchase_click_attribution", "interval join: bucketized equi-join on (user, time-bucket), exact predicate after collocation — no BNLJ/cartesian"),
     ("benchmark_contamination", "decontamination: doc-local codegen shingling + array_distinct, broadcast benchmark probe, one partial/final groupBy(doc)"),
+    ("table_profile", "data-quality profile: every metric one agg over one scan (expand for multi-distinct), stack() unpivot, no driver loops"),
     ("event_sessions", "sessionization: native session_window aggregation, one shuffle on user"),
     ("kmv_retention", "retention from the per-day KMV rollup: bounded grouped partials, broadcast adjacent-day pair join, executor-side combine — no corpus rescan per pair"),
 ]

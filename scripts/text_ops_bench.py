@@ -54,6 +54,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--cpus", type=int, default=os.cpu_count(),
+                    help="local[N] parallelism (north-rule two-level runs)")
+    ap.add_argument("--out", default="BENCH/text_ops_scale.json")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,7 +68,7 @@ def main() -> None:
     )
 
     spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        SparkSession.builder.master(f"local[{args.cpus}]")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
@@ -88,7 +91,7 @@ def main() -> None:
                         for c in df.columns]).collect()
 
     out: dict = {"docs": args.docs, "tokens_per_doc": 60,
-                 "cpus": os.cpu_count(), "reps": args.reps, "ops": {}}
+                 "cpus": args.cpus, "reps": args.reps, "ops": {}}
     for name, fn in (
         ("doc_repetition", lambda: force(doc_repetition_df(docs))),
         ("tfidf_top_terms", lambda: force(tfidf_top_terms_df(docs))),
@@ -103,7 +106,7 @@ def main() -> None:
         print(name, out["ops"][name])
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/text_ops_scale.json", "w") as f:
+    with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     spark.stop()
