@@ -38,7 +38,7 @@ AUDITED = [
     ("doc_repetition", "repetition signals: codegen array bigrams (slice+zip_with, no self-join), two-level aggs with map-side combine, doc_id-aligned join"),
     ("asof_last_purchase", "as-of join: union + one window per key, no BroadcastNestedLoopJoin / range explosion"),
     ("purchase_click_attribution", "interval join: bucketized equi-join on (user, time-bucket), exact predicate after collocation — no BNLJ/cartesian"),
-    ("benchmark_contamination", "decontamination: doc-local codegen shingling + array_distinct, broadcast benchmark probe, one partial/final groupBy(doc)"),
+    ("benchmark_contamination", "decontamination: ONE corpus shingling pass (count + overlap fold from the same exploded stream), broadcast benchmark probe, one partial/final groupBy(doc)"),
     ("table_profile", "data-quality profile: every metric one agg over one scan (expand for multi-distinct), stack() unpivot, no driver loops"),
     ("event_sessions", "sessionization: native session_window aggregation, one shuffle on user"),
     ("kmv_retention", "retention from the per-day KMV rollup: bounded grouped partials, broadcast adjacent-day pair join, executor-side combine — no corpus rescan per pair"),
