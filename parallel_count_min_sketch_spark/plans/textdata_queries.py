@@ -1359,7 +1359,11 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     """Core of :func:`q_benchmark_contamination` over any
     ``(doc_id, text)`` DataFrame (scale benches drive it on synthetic
-    corpora)."""
+    corpora). ``doc_id`` must be unique per row — the one-pass groupBy
+    folds stats per id, so rows SHARING an id would get their shingle
+    counts summed and fanned back out to every copy (and would diverge
+    from the per-row DuckDB oracle); run exact dedup first if ids can
+    repeat."""
     toks = F.expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')")
     k, mod = CONTAM_SHINGLE_K, CONTAM_BENCH_MOD
     # Spark's sequence(1, 0) counts DOWN ([1, 0], default step -1) where

@@ -1,7 +1,11 @@
 """Streaming exact dedup: drop content-duplicate documents from a stream
-with Spark's keyed dedup state — the incremental twin of the batch
-`operators/dedup.dedup_keep_canonical` (same md5 content digest, so a doc
-kept by the stream is the doc the batch path would keep first).
+with Spark's keyed dedup state — the incremental sibling of the batch
+`operators/dedup.dedup_keep_canonical`: the SAME md5 content digest
+defines what counts as a duplicate, so both paths agree on the
+duplicate GROUPS. Which member survives differs by construction: the
+stream keeps the FIRST-ARRIVING doc of a digest, the batch path keeps
+the MIN-id doc — identical cleaned corpora only when arrival order
+matches id order.
 
 Two state regimes:
 
@@ -47,6 +51,10 @@ def stream_dedup_by_content(stream_df: DataFrame, text_col: str, *,
     exact-dedup family shuffles on (operators/dedup.py:542), so stream and
     batch agree on what counts as a duplicate. The digest column is
     internal and dropped from the output."""
+    if "_digest" in stream_df.columns:
+        raise ValueError(
+            "stream_dedup_by_content uses an internal _digest column; "
+            "rename the input's _digest column first")
     withd = stream_df.withColumn("_digest", F.md5(F.col(text_col)))
     out = stream_dedup_exact(withd, ["_digest"],
                              event_time_col=event_time_col,

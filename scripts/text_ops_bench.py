@@ -105,7 +105,7 @@ def main() -> None:
         }
         print(name, out["ops"][name])
 
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
