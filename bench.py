@@ -356,7 +356,12 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    out = {
+    # Full detail (raw run arrays, stall counts, full parity block) goes to
+    # BENCH/bench_detail.json — the driver's tail capture truncated r4's
+    # single long stdout line at the HEAD, losing the headline metric
+    # (BENCH_r04.json "parsed": null). The LAST stdout line is now a compact
+    # headline object: medians only, well under any sane capture window.
+    detail = {
         "metric": "cms_update_merge_build_sec",
         "value": build["build_sec"],
         "unit": "sec",
@@ -368,6 +373,33 @@ def main() -> None:
         "docs_per_sec": build["docs_per_sec"],
         "tokens_per_sec": build["tokens_per_sec"],
         "reference_parity": parity,
+    }
+    detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(detail_dir, exist_ok=True)
+    detail_path = os.path.join(detail_dir, "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"full detail (raw run arrays, parity block): {detail_path}",
+          file=sys.stderr)
+
+    medians = {k: v for k, v in timings.items() if not k.endswith("_runs")}
+    out = {
+        "metric": "cms_update_merge_build_sec",
+        "value": build["build_sec"],
+        "unit": "sec",
+        "queries": medians,
+        "sf": sf,
+        "cpus": CPUS,
+        "docs_per_sec": build["docs_per_sec"],
+        "tokens_per_sec": build["tokens_per_sec"],
+        "parity": {
+            "items_build_sec": parity["items_build_sec"],
+            "items_per_sec": parity["items_per_sec"],
+            "point_query_us": parity["point_query_us"],
+            "range_query_batch_us": parity["range_query_batch_us"],
+            "inner_product_us": parity["inner_product_us"],
+        },
+        "detail": "BENCH/bench_detail.json",
     }
     spark.stop()
     print(json.dumps(out))

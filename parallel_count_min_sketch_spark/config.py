@@ -70,6 +70,18 @@ def affine_sql(a: int, b: int, item_expr: str) -> str:
     return f"(({a} * (({item_expr}) % {MERSENNE_PRIME}) + {b}) % {MERSENNE_PRIME})"
 
 
+def cubic_sql(c3: int, c2: int, c1: int, c0: int, item_expr: str) -> str:
+    """Degree-3 polynomial (c3*x^3+c2*x^2+c1*x+c0) mod p in Horner form,
+    pure BIGINT SQL (Spark and DuckDB alike) — every intermediate is
+    < 2^62 + 2^31, exact in int64 even under ANSI mode. 4-wise
+    independent sign family for Count-Sketch; mirrors
+    sketches/countsketch.CountSketch._buckets_signs exactly."""
+    x = f"(({item_expr}) % {MERSENNE_PRIME})"
+    h = f"(({c3} * {x} + {c2}) % {MERSENNE_PRIME})"
+    h = f"(({h} * {x} + {c1}) % {MERSENNE_PRIME})"
+    return f"(({h} * {x} + {c0}) % {MERSENNE_PRIME})"
+
+
 def _djb2_step_sql(h: str, u: str, intdiv: str) -> str:
     """One fold step: expand code point ``u`` to its UTF-8 bytes
     arithmetically and fold each byte in (h*33+byte), taking mod p once per
@@ -98,10 +110,15 @@ def djb2_sql_spark(col_expr: str) -> str:
     points (ascii/substring) and expands each to its UTF-8 bytes in integer
     arithmetic, so the result equals the numpy kernel's byte fold on ANY
     unicode input (reference hash: src/core/count_min_sketch.c:14-21)."""
+    # empty-string guard: Spark's sequence(1, 0) yields the DESCENDING
+    # [1, 0] (two zero-byte fold steps), where DuckDB's range(1, 1) is
+    # empty — without the CASE an '' key hashes differently per engine
+    # (and differently from the numpy kernel, which returns DJB2_INIT).
     return (
-        f"aggregate(transform(sequence(1, length({col_expr})), i -> "
+        f"CASE WHEN length({col_expr}) = 0 THEN CAST({DJB2_INIT} AS BIGINT) "
+        f"ELSE aggregate(transform(sequence(1, length({col_expr})), i -> "
         f"CAST(ascii(substring({col_expr}, i, 1)) AS BIGINT)), "
-        f"CAST({DJB2_INIT} AS BIGINT), (h, u) -> {_djb2_step_sql('h', 'u', 'DIV')})"
+        f"CAST({DJB2_INIT} AS BIGINT), (h, u) -> {_djb2_step_sql('h', 'u', 'DIV')}) END"
     )
 
 

@@ -50,7 +50,14 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
              .alias("_asof_payload")]
     if tiebreak_col:
         r_sel.append(F.col(tiebreak_col).alias("_asof_tb"))
-    r = right.select(*r_sel).withColumn("_asof_side", F.lit(0))
+    # enforce the documented contract: NULL keys/timestamps never match.
+    # Without this filter a NULL-ts right row sorts FIRST (asc nulls
+    # first) and its payload would be carried to left rows with no true
+    # earlier match, and NULL-key rows co-partition so NULL-key left rows
+    # would match NULL-key right rows — both diverge from ASOF semantics.
+    right_clean = right.filter(
+        F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    r = right_clean.select(*r_sel).withColumn("_asof_side", F.lit(0))
     l_tagged = left.withColumn("_asof_side", F.lit(1))
     both = l_tagged.unionByName(r, allowMissingColumns=True)
 

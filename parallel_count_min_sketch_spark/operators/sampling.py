@@ -52,7 +52,13 @@ def stratified_hash_sample(df: DataFrame, group_col: str, key_col: str,
     h = F.expr(affine_sql(int(a[0]), int(b[0]), f"CAST({key_col} AS BIGINT)"))
     cols = [group_col, key_col] + [c for c in (payload_cols or [])
                                    if c not in (group_col, key_col)]
-    proj = df.select(*cols).withColumn("sample_h", h)
+    # NULL keys have no defined position in the hash order — and worse,
+    # phase 1 (pandas sort: NaN LAST) and phase 2 (Spark window asc:
+    # NULLS FIRST) would disagree on where a NULL sample_h ranks, so a
+    # NULL-key row could be cut in phase 1 yet rank inside the top k in
+    # phase 2. Contract: NULL keys are excluded from the sample frame.
+    proj = (df.select(*cols).withColumn("sample_h", h)
+            .filter(F.col("sample_h").isNotNull()))
     schema = proj.schema
 
     def part_topk(pdfs: Iterator) -> Iterator:

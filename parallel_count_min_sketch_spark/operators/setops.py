@@ -12,9 +12,11 @@ O(k) integers each — independent of corpus size. The join broadcasts
 the (tiny) grouped-sketch relation against itself; at 10k+ groups a
 user would bound the pair set with an explicit group filter first.
 
-All output estimates are INTEGER floors ((n*p) // theta — exact int64
-division), so a SQL oracle replaying the bottom-k state reproduces
-every column bit-for-bit.
+All output estimates are INTEGER floors ((n*p^2) // theta) computed in
+arbitrary-precision Python ints (the intermediate exceeds int64 now the
+hash space is ~62 bits; the RESULT is a cardinality estimate, well
+inside int64), so a SQL oracle replaying the bottom-k state in HUGEINT
+reproduces every column bit-for-bit.
 """
 
 from __future__ import annotations
@@ -26,8 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..memtune import tune_allocator
-from ..sketches.hashing import MERSENNE_PRIME
-from ..sketches.kmv import KMVSketch
+from ..sketches.kmv import KMV_HASH_SPACE, KMVSketch
 
 PAIR_SCHEMA = (
     "group_a STRING, group_b STRING, theta LONG, n_common LONG, "
@@ -67,7 +68,7 @@ def kmv_pair_estimates(grouped_df: DataFrame, pair_cond=None) -> DataFrame:
 
     def combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         tune_allocator()
-        p = MERSENNE_PRIME
+        p = KMV_HASH_SPACE
         for batch in batches:
             rows: dict[str, list] = {f.name: [] for f in _PAIR_PA}
             for row in batch.to_pylist():
@@ -75,8 +76,9 @@ def kmv_pair_estimates(grouped_df: DataFrame, pair_cond=None) -> DataFrame:
                 sb = KMVSketch.from_bytes(bytes(row["sketch_b"]))
                 st = KMVSketch.pair_stats(sa, sb)
                 k = sa.k
-                # integer floors: exact int64 arithmetic a SQL oracle
-                # replays literally (no IEEE rounding anywhere)
+                # integer floors in Python's arbitrary-precision ints
+                # (n * p^2 exceeds int64; the quotient does not) — the
+                # SQL oracle replays them in HUGEINT, no IEEE rounding
                 inter_floor = (st["n_common"] * p) // st["theta"]
                 u_theta = st["union_theta"]
                 if u_theta == p:  # union sketch still exact

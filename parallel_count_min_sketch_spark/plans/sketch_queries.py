@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..config import affine_sql
+from ..config import affine_sql, cubic_sql
 from ..operators.sketch_agg import build_sketch
 from ..sketches.bloom import BloomFilter
 from ..sketches.countsketch import CountSketch
@@ -750,6 +750,16 @@ KMV_SET_K = 512
 KMV_SET_SEED = 43
 
 
+def _kmv_hash_sql(sk: KMVSketch, item_expr: str) -> str:
+    """62-bit KMV hash h1*p + h2 in BIGINT SQL (h1 < p ~ 2^31 keeps the
+    product < 2^62) — mirrors KMVSketch._hash exactly."""
+    from ..sketches.hashing import MERSENNE_PRIME
+
+    h1 = affine_sql(sk.a, sk.b, item_expr)
+    h2 = affine_sql(sk.a2, sk.b2, item_expr)
+    return f"({h1} * {MERSENNE_PRIME} + {h2})"
+
+
 def _mk_kmv():
     return KMVSketch(KMV_K, KMV_SEED)
 
@@ -767,15 +777,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k smallest distinct affine hashes) and the estimator floor are pure
     integer arithmetic — the DuckDB oracle replays both literally
     (``SELECT DISTINCT h ORDER BY h LIMIT k``). At sf<=0.001 the sketch is
-    EXACT (fewer than k distinct values); at sf0.01+ the (k-1)*p/theta
-    estimator engages — both regimes flow through the same columns."""
-    from ..sketches.hashing import MERSENNE_PRIME
+    EXACT (fewer than k distinct values); at sf0.01+ the (k-1)*p^2/theta
+    estimator engages (62-bit hash space — see sketches/kmv.py) — both regimes flow through the same columns."""
+    from ..sketches.kmv import KMV_HASH_SPACE
 
     li = load(spark, sf_dir, "lineitem")
     sk = build_sketch(li, "l_partkey", _mk_kmv, _kmv_from_bytes)
     exact = li.select("l_partkey").distinct().count()
     n, theta, _est = sk.estimate_portable()
-    est_floor = n if n < sk.k else ((sk.k - 1) * MERSENNE_PRIME) // theta
+    est_floor = n if n < sk.k else ((sk.k - 1) * KMV_HASH_SPACE) // theta
     within = abs(est_floor - exact) * 4 <= exact  # 25% bound, integer math
     return spark.createDataFrame(
         [(int(exact), int(n), int(theta), int(est_floor), bool(within))],
@@ -785,20 +795,20 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmv_sql() -> str:
-    from ..sketches.hashing import MERSENNE_PRIME
+    from ..sketches.kmv import KMV_HASH_SPACE
 
     sk = _mk_kmv()
-    p, k = MERSENNE_PRIME, sk.k
-    h = affine_sql(sk.a, sk.b, "item_id")
+    p2, k = KMV_HASH_SPACE, sk.k
+    h = _kmv_hash_sql(sk, "item_id")
     return f"""
 WITH ids AS (SELECT CAST(l_partkey AS BIGINT) AS item_id FROM lineitem),
 hashed AS (SELECT DISTINCT {h} AS h FROM ids),
 kept AS (SELECT h FROM hashed ORDER BY h LIMIT {k}),
 st AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM kept),
-fin AS (SELECT n, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM st),
+fin AS (SELECT n, CASE WHEN n < {k} THEN {p2} ELSE mx END AS theta FROM st),
 est AS (SELECT n, theta,
                CAST(CASE WHEN n < {k} THEN n
-                         ELSE (CAST({k - 1} AS BIGINT) * {p}) // theta END AS BIGINT) AS est_floor
+                         ELSE (CAST({k - 1} AS HUGEINT) * {p2}) // theta END AS BIGINT) AS est_floor
         FROM fin),
 ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct FROM lineitem)
 SELECT ex.exact_distinct, CAST(est.n AS BIGINT) AS n_kept,
@@ -832,16 +842,19 @@ def _kmv_pair_sql(hashed_select: str, pair_cond: str, k: int,
     intersection / union / Jaccard estimators. ``hashed_select`` must
     expose (g, h). ONE copy of the estimator SQL — a fix to the
     union-floor exact-case branch or the jaccard_bp zero-guard lands in
-    every oracle that replays the operator (set-ops, retention)."""
-    from ..sketches.hashing import MERSENNE_PRIME
+    every oracle that replays the operator (set-ops, retention). The
+    (n * p^2) products exceed int64, so the floors fold in HUGEINT and
+    cast back — DuckDB-only SQL, mirroring the Python side's
+    arbitrary-precision ints."""
+    from ..sketches.kmv import KMV_HASH_SPACE
 
-    p = MERSENNE_PRIME
+    p = KMV_HASH_SPACE
     return f"""
 WITH hashed AS ({hashed_select}),
 ranked AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hashed),
 kept AS (SELECT g, h FROM ranked WHERE rn <= {k}),
 gstats AS (SELECT g, COUNT(*) AS n, MAX(h) AS mx FROM kept GROUP BY g),
-thetas AS (SELECT g, CASE WHEN n < {k} THEN {p} ELSE mx END AS theta FROM gstats),
+thetas AS (SELECT g, CASE WHEN n < {k} THEN CAST({p} AS BIGINT) ELSE mx END AS theta FROM gstats),
 pairs AS (SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
           FROM thetas a JOIN thetas b ON {pair_cond}),
 common AS (SELECT pr.ga, pr.gb, COUNT(*) AS n_common
@@ -863,9 +876,9 @@ SELECT pr.ga AS group_a, pr.gb AS group_b,
        CAST(pr.theta AS BIGINT) AS theta,
        CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
        CAST(COALESCE(ub.n_ub, 0) AS BIGINT) AS n_union_below_theta,
-       CAST((CAST(COALESCE(c.n_common, 0) AS BIGINT) * {p}) // pr.theta AS BIGINT) AS inter_floor,
+       CAST((CAST(COALESCE(c.n_common, 0) AS HUGEINT) * {p}) // pr.theta AS BIGINT) AS inter_floor,
        CAST(CASE WHEN us.n_u < {k} THEN us.n_u
-                 ELSE (CAST({k - 1} AS BIGINT) * {p}) // us.mx_u END AS BIGINT) AS union_floor,
+                 ELSE (CAST({k - 1} AS HUGEINT) * {p}) // us.mx_u END AS BIGINT) AS union_floor,
        CAST(CASE WHEN COALESCE(ub.n_ub, 0) = 0 THEN 0
                  ELSE (10000 * COALESCE(c.n_common, 0)) // ub.n_ub END AS BIGINT) AS jaccard_bp
 FROM pairs pr
@@ -878,7 +891,7 @@ ORDER BY {order_by}
 
 def _kmv_set_ops_sql() -> str:
     sk = _mk_kmv_set()
-    h = affine_sql(sk.a, sk.b, "CAST(o_custkey AS BIGINT)")
+    h = _kmv_hash_sql(sk, "CAST(o_custkey AS BIGINT)")
     return _kmv_pair_sql(
         f"SELECT DISTINCT o_orderstatus AS g, {h} AS h FROM orders",
         "a.g < b.g", sk.k, "group_a, group_b")
@@ -924,7 +937,7 @@ def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmv_retention_sql() -> str:
     sk = _mk_kmv_ret()
-    h = affine_sql(sk.a, sk.b, "CAST(user_id AS BIGINT)")
+    h = _kmv_hash_sql(sk, "CAST(user_id AS BIGINT)")
     hashed = f"""SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS g, {h} AS h
   FROM events
   WHERE CAST(ts AS DATE) BETWEEN DATE '{RET_LO}' AND DATE '{RET_HI}'
@@ -959,7 +972,8 @@ def _cs_counter_rows_sql(tc: str) -> str:
     parts = []
     for j in range(cs.depth):
         bkt = f"({affine_sql(int(cs.a[j]), int(cs.b[j]), 'item_id')}) % {cs.width}"
-        sgn = f"((({affine_sql(int(cs.sa[j]), int(cs.sb[j]), 'item_id')}) % 2) * 2 - 1)"
+        c3, c2, c1, c0 = (int(v) for v in cs.sc[j])
+        sgn = f"((({cubic_sql(c3, c2, c1, c0, 'item_id')}) % 2) * 2 - 1)"
         parts.append(
             f"SELECT {j} AS depth_row, {bkt} AS bucket, "
             f"CAST(SUM({sgn} * cnt) AS BIGINT) AS counter FROM ({tc}) GROUP BY 2"
@@ -977,7 +991,15 @@ def q_countsketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _token_df(spark, sf_dir)
     sk = build_sketch(toks, "tok", _mk_cs, _cs_from_bytes, string_items=True)
     est = sk.point_query_strings(TOKEN_PROBES)
-    exact = {r["tok"]: r["count"] for r in toks.groupBy("tok").count().collect()}
+    # probe-filtered exact counts: the collect is bounded by
+    # len(TOKEN_PROBES) rows regardless of vocabulary size (a full
+    # groupBy().count().collect() here would pull the whole vocab to the
+    # driver — a scale-killer at web corpus size)
+    exact = {
+        r["tok"]: r["count"]
+        for r in toks.filter(F.col("tok").isin(list(TOKEN_PROBES)))
+        .groupBy("tok").count().collect()
+    }
     rows = [
         (t, int(exact.get(t, 0)), int(e))
         for t, e in zip(TOKEN_PROBES, est)
@@ -999,7 +1021,8 @@ def _cs_estimates_sql() -> str:
     probe_rows = []
     for j in range(cs.depth):
         bkt = f"({affine_sql(int(cs.a[j]), int(cs.b[j]), 'item_id')}) % {cs.width}"
-        sgn = f"((({affine_sql(int(cs.sa[j]), int(cs.sb[j]), 'item_id')}) % 2) * 2 - 1)"
+        c3, c2, c1, c0 = (int(v) for v in cs.sc[j])
+        sgn = f"((({cubic_sql(c3, c2, c1, c0, 'item_id')}) % 2) * 2 - 1)"
         probe_rows.append(
             f"SELECT token, {j} AS depth_row, {bkt} AS bucket, {sgn} AS sign FROM probe_ids"
         )

@@ -1014,7 +1014,8 @@ def _sql_stratified_sample() -> str:
     a, b = affine_params(STRAT_SEED, 1)
     h = _affine_sql(int(a[0]), int(b[0]), "CAST(doc_id AS BIGINT)")
     return f"""
-WITH h AS (SELECT lang, doc_id, n_chars, {h} AS sample_h FROM documents),
+WITH h AS (SELECT lang, doc_id, n_chars, {h} AS sample_h FROM documents
+           WHERE doc_id IS NOT NULL),
 r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_h, doc_id) AS rn
       FROM h)
 SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, sample_h
@@ -1349,10 +1350,12 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen (transform over the token array + array_distinct
     — no (doc, token) shuffle); the benchmark's distinct-shingle set is
     tiny relative to the corpus (benchmarks are fixed-size; the corpus is
-    the 100 TB side) and rides a broadcast, so the overlap count is a
-    broadcast semi-probe per exploded corpus shingle followed by one
-    partial/final groupBy(doc_id). Docs with no shingles (< K tokens)
-    stay in the output with zero overlap via the doc-table left join."""
+    the 100 TB side) and rides a broadcast KEYED BY xxhash64 int64 (the
+    per-probe work is an int64 hash-table lookup; the shingle string is
+    compared only on a hash match, which keeps the count exact under
+    collisions), followed by one partial/final groupBy(doc_id). Docs with
+    no shingles (< K tokens) stay in the output with zero overlap via the
+    doc-table left join."""
     return benchmark_contamination_df(load(spark, sf_dir, "documents"))
 
 
@@ -1375,9 +1378,18 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
         f" ELSE CAST(array() AS array<string>) END")
     base = docs.select("doc_id", toks.alias("_l")).select(
         "doc_id", sh.alias("_sh"))
+    # benchmark relation keyed by xxhash64(shingle): the broadcast hash
+    # table is int64-keyed (8-byte keys, int64 probe hashing) instead of
+    # string-keyed — the r4 bench showed the 560k-entry STRING relation
+    # probed 28M times was memory-bandwidth-bound. Grouping to
+    # (h, array<shingle>) keeps it EXACT: a probe matches the hash first,
+    # then confirms the string via array_contains, so an h collision
+    # (corpus-vs-bench or bench-internal) can never flip a count.
     bench = (
         base.filter(F.col("doc_id") % mod == 0)
-        .select(F.explode("_sh").alias("shingle")).distinct()
+        .select(F.explode("_sh").alias("_bsh")).distinct()
+        .groupBy(F.xxhash64("_bsh").alias("_h"))
+        .agg(F.collect_list("_bsh").alias("_bench_sh"))
     )
     # ONE shingling pass over the corpus: n_shingles and n_overlap fold
     # from the SAME exploded stream (count + matched-count in one agg).
@@ -1389,13 +1401,17 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     ex = (
         base.filter(F.col("doc_id") % mod != 0)
         .select("doc_id", F.explode("_sh").alias("shingle"))
+        .withColumn("_h", F.xxhash64("shingle"))
     )
+    hit = F.when(
+        F.array_contains(F.coalesce("_bench_sh",
+                                    F.expr("CAST(array() AS array<string>)")),
+                         F.col("shingle")), 1).otherwise(0)
     stats = (
-        ex.join(F.broadcast(bench.withColumn("_hit", F.lit(1))),
-                "shingle", "left")
+        ex.join(F.broadcast(bench), "_h", "left")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shingles"),
-             F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"))
+             F.sum(hit).alias("n_overlap"))
     )
     corpus_ids = docs.filter(F.col("doc_id") % mod != 0).select("doc_id")
     return (

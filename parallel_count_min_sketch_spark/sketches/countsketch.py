@@ -9,12 +9,17 @@ row, median-of-d rows — much tighter on heavy-tailed token streams, and
 the same sketch yields the second frequency moment F2 (the AMS estimator),
 which a pipeline uses for join-size / self-similarity estimation.
 
-Design contract matches the other kernels: per-row bucket hash AND sign
-hash are seeded affine functions over the Mersenne prime; the counter
-table is plain int64 sums, so a SQL oracle replays the whole state as
-``SUM(sign)`` grouped by (depth_row, bucket), and the median-of-d point
-estimate as the middle element of d ordered integers (d is odd by
-construction — no float interpolation anywhere).
+Design contract matches the other kernels: the per-row bucket hash is a
+seeded affine (2-universal) function over the Mersenne prime; the SIGN
+hash is a seeded CUBIC polynomial over the same prime (Horner form, every
+intermediate < 2^62 so the evaluation is exact in int64 and in ANSI-SQL
+BIGINT alike) — degree-3 polynomials over a prime field are 4-wise
+independent, which is what the AMS F2 variance bound assumes (an affine
+sign family is only 2-wise and silently weakens the guarantee). The
+counter table is plain int64 sums, so a SQL oracle replays the whole
+state as ``SUM(sign)`` grouped by (depth_row, bucket), and the
+median-of-d point estimate as the middle element of d ordered integers
+(d is odd by construction — no float interpolation anywhere).
 
 Merge = element-wise sum (associative/commutative); weighted updates are
 native (signed weight adds).
@@ -34,7 +39,7 @@ _HEADER = struct.Struct("<4sIIq")  # magic, depth, width, seed
 
 class CountSketch:
     WEIGHTED = "native"
-    __slots__ = ("depth", "width", "seed", "a", "b", "sa", "sb", "table")
+    __slots__ = ("depth", "width", "seed", "a", "b", "sc", "table")
 
     def __init__(self, depth: int = 5, width: int = 2048, seed: int = 1,
                  table: np.ndarray | None = None):
@@ -43,12 +48,18 @@ class CountSketch:
         self.depth = int(depth)
         self.width = int(width)
         self.seed = int(seed)
-        # rows 0..d-1: bucket hashes; derived second family: sign hashes.
-        # Both from one seeded draw of 2*depth affine pairs so the full
-        # parameter set is a pure function of (seed, depth).
-        a, b = affine_params(seed, 2 * depth)
+        # rows 0..d-1: affine bucket hashes. Sign hashes: one cubic
+        # polynomial per row, coefficients (c3, c2, c1, c0) with c3 != 0
+        # (the a-draws are in [1, p-1]) so each row's sign family is
+        # genuinely degree 3 -> 4-wise independent. Everything from one
+        # seeded draw: the full parameter set is a pure function of
+        # (seed, depth) and replays in oracle SQL as integer literals.
+        a, b = affine_params(seed, 3 * depth)
         self.a, self.b = a[:depth], b[:depth]
-        self.sa, self.sb = a[depth:], b[depth:]
+        # sc[j] = (c3, c2, c1, c0) for depth row j
+        self.sc = np.stack(
+            [a[depth:2 * depth], b[depth:2 * depth],
+             a[2 * depth:], b[2 * depth:]], axis=1)
         if table is None:
             self.table = np.zeros((depth, width), dtype=np.int64)
         else:
@@ -64,7 +75,12 @@ class CountSketch:
     def _buckets_signs(self, items: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         x = np.asarray(items, dtype=np.int64) % MERSENNE_PRIME
         h = (self.a[:, None] * x[None, :] + self.b[:, None]) % MERSENNE_PRIME
-        s = (self.sa[:, None] * x[None, :] + self.sb[:, None]) % MERSENNE_PRIME
+        # cubic sign polynomial, Horner form: every intermediate is
+        # (value < p) * (x < p) + coeff < 2^62 + 2^31 — exact in int64
+        c3, c2, c1, c0 = (self.sc[:, i][:, None] for i in range(4))
+        s = (c3 * x[None, :] + c2) % MERSENNE_PRIME
+        s = (s * x[None, :] + c1) % MERSENNE_PRIME
+        s = (s * x[None, :] + c0) % MERSENNE_PRIME
         return h % self.width, (s % 2) * 2 - 1  # sign in {-1, +1}
 
     # -- update ------------------------------------------------------------
@@ -99,10 +115,15 @@ class CountSketch:
         return self.point_query(djb2_batch(tokens))
 
     def f2_estimate(self) -> int:
-        """AMS second-moment estimate: median over rows of sum_c c^2 —
-        exact integer arithmetic (row sums < 2^63 for realistic masses)."""
-        per_row = (self.table.astype(np.int64) ** 2).sum(axis=1)
-        return int(np.sort(per_row)[self.depth // 2])
+        """AMS second-moment estimate: median over rows of sum_c c^2.
+
+        Computed in arbitrary-precision Python ints: an int64 sum of
+        squares wraps silently once a row's mass concentrates past ~3e9
+        in one counter — well inside a 100-TB corpus. depth*width is a
+        few thousand scalars, so the driver-side exact sum is free."""
+        per_row = sorted(
+            sum(int(c) * int(c) for c in row) for row in self.table)
+        return int(per_row[self.depth // 2])
 
     # -- merge -------------------------------------------------------------
     def merge(self, other: "CountSketch") -> "CountSketch":

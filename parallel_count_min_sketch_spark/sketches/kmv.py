@@ -8,22 +8,28 @@ which is exactly the shape a training-data pipeline needs for corpus
 overlap audits ("how many users/documents do splits A and B share?").
 
 Design contract matches the other kernels: state is a sorted int64 array
-of the k smallest DISTINCT values of the seeded affine hash
-h(x) = (a*(x mod p) + b) mod p over the Mersenne prime p = 2^31-1 —
-integer state a SQL oracle replays literally as
-``SELECT DISTINCT h ... ORDER BY h LIMIT k``. All estimators are one
-float division over that integer state, so the DuckDB twin reproduces
-them bit-for-bit.
+of the k smallest DISTINCT values of a seeded hash into the ~62-bit
+space [0, p^2), p = 2^31-1: h(x) = h1(x)*p + h2(x) built from two
+independent affine draws. A single 31-bit affine hash would collapse the
+item space to ~2.1e9 values, so past ~10^7 true distincts birthday
+collisions bias every estimate low (standard KMV/theta sketches use a
+64-bit hash space for exactly this reason); the combined pair collides
+only when BOTH affines collide (~2^-62), pushing the ceiling far past
+any realistic cardinality, while every product stays < 2^62 — exact in
+int64 and in the BIGINT SQL the DuckDB oracle replays literally as
+``SELECT DISTINCT h ... ORDER BY h LIMIT k`` (estimator intermediates
+(k-1)*p^2 exceed int64, so the oracle folds them in HUGEINT and the
+Python side in arbitrary-precision ints).
 
 Math (standard KMV / theta-sketch estimators, Beyer et al. 2007 /
-Dasgupta et al. 2016):
-  theta     = p when fewer than k distinct hashes were seen (sketch is
+Dasgupta et al. 2016), over the hash space P = p^2:
+  theta     = P when fewer than k distinct hashes were seen (sketch is
               EXACT: it holds every distinct hash), else the k-th
               smallest hash value.
-  distinct  = n_kept (exact case) or (k-1) * p / theta.
+  distinct  = n_kept (exact case) or (k-1) * P / theta.
   A ∩ B     : theta_ab = min(theta_a, theta_b);
               C = {h in kept_A ∩ kept_B : h < theta_ab};
-              est = |C| * p / theta_ab  (exact when both sides exact).
+              est = |C| * P / theta_ab  (exact when both sides exact).
   A ∪ B     : merge (union of kept sets, re-truncate to bottom-k), then
               the single-sketch estimator.
 Merge is associative, commutative and idempotent; duplicates never change
@@ -38,13 +44,16 @@ import numpy as np
 
 from .hashing import MERSENNE_PRIME, affine_params, djb2_batch
 
+# hash space: pairs (h1, h2) of independent affines packed as h1*p + h2
+KMV_HASH_SPACE = MERSENNE_PRIME * MERSENNE_PRIME  # ~4.6e18 < 2^63
+
 _MAGIC = b"KMV1"
 _HEADER = struct.Struct("<4sIq")  # magic, k, seed
 
 
 class KMVSketch:
     WEIGHTED = "invariant"  # duplicates never change a distinct sketch
-    __slots__ = ("k", "seed", "a", "b", "values")
+    __slots__ = ("k", "seed", "a", "b", "a2", "b2", "values")
 
     def __init__(self, k: int = 512, seed: int = 1,
                  values: np.ndarray | None = None):
@@ -52,8 +61,9 @@ class KMVSketch:
             raise ValueError("k must be >= 2")
         self.k = int(k)
         self.seed = int(seed)
-        a, b = affine_params(seed, 1)
+        a, b = affine_params(seed, 2)
         self.a, self.b = int(a[0]), int(b[0])
+        self.a2, self.b2 = int(a[1]), int(b[1])
         if values is None:
             self.values = np.empty(0, dtype=np.int64)
         else:
@@ -68,7 +78,10 @@ class KMVSketch:
     # -- update ------------------------------------------------------------
     def _hash(self, items: np.ndarray) -> np.ndarray:
         x = np.asarray(items, dtype=np.int64) % MERSENNE_PRIME
-        return (self.a * x + self.b) % MERSENNE_PRIME
+        h1 = (self.a * x + self.b) % MERSENNE_PRIME
+        h2 = (self.a2 * x + self.b2) % MERSENNE_PRIME
+        # h1 < p ~ 2^31 so h1*p < 2^62: exact in int64 (and BIGINT SQL)
+        return h1 * MERSENNE_PRIME + h2
 
     def update_batch(self, items) -> None:
         items = np.asarray(items, dtype=np.int64)
@@ -85,9 +98,9 @@ class KMVSketch:
     @property
     def theta(self) -> int:
         """Hash-space threshold: every distinct hash < theta is in the
-        kept set. p (exact sketch) until the k-th value arrives."""
+        kept set. p^2 (exact sketch) until the k-th value arrives."""
         if len(self.values) < self.k:
-            return MERSENNE_PRIME
+            return KMV_HASH_SPACE
         return int(self.values[-1])
 
     def estimate_portable(self) -> tuple[int, int, float]:
@@ -95,9 +108,9 @@ class KMVSketch:
         replayable in SQL."""
         n = len(self.values)
         if n < self.k:
-            return n, MERSENNE_PRIME, float(n)
+            return n, KMV_HASH_SPACE, float(n)
         th = int(self.values[-1])
-        return n, th, (self.k - 1) * MERSENNE_PRIME / th
+        return n, th, (self.k - 1) * KMV_HASH_SPACE / th
 
     def estimate(self) -> float:
         return self.estimate_portable()[2]
@@ -113,7 +126,7 @@ class KMVSketch:
         """
         if sa.config_key() != sb.config_key():
             raise ValueError("incompatible KMV configs")
-        p = MERSENNE_PRIME
+        p = KMV_HASH_SPACE
         theta = min(sa.theta, sb.theta)
         a_below = sa.values[sa.values < theta]
         b_below = sb.values[sb.values < theta]

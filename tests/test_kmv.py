@@ -7,15 +7,14 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from parallel_count_min_sketch_spark.sketches.hashing import MERSENNE_PRIME
-from parallel_count_min_sketch_spark.sketches.kmv import KMVSketch
+from parallel_count_min_sketch_spark.sketches.kmv import KMV_HASH_SPACE, KMVSketch
 
 
 def test_exact_regime_below_k():
     sk = KMVSketch(512, seed=7)
     sk.update_batch(np.arange(300))
     n, theta, est = sk.estimate_portable()
-    assert (n, theta, est) == (300, MERSENNE_PRIME, 300.0)
+    assert (n, theta, est) == (300, KMV_HASH_SPACE, 300.0)
 
 
 def test_estimate_within_error():
@@ -23,7 +22,9 @@ def test_estimate_within_error():
     items = rng.integers(0, 10**12, size=200_000)
     sk = KMVSketch(512, seed=7)
     sk.update_batch(items)
-    true = len(np.unique(items % MERSENNE_PRIME))
+    # 62-bit hash space: distinct ITEMS are the ground truth (no ~2^31
+    # collision ceiling to account for anymore)
+    true = len(np.unique(items))
     _, _, est = sk.estimate_portable()
     # KMV rel std err ~ 1/sqrt(k-2) ~ 4.4%; 3 sigma
     assert abs(est - true) / true < 0.14
@@ -91,7 +92,7 @@ def test_pair_stats_exact_when_both_below_k():
     st = KMVSketch.pair_stats(sa, sb)
     # both sketches exact -> theta = p and every count is exact
     # (assuming no affine-hash collisions among 300 small ints)
-    assert st["theta"] == MERSENNE_PRIME
+    assert st["theta"] == KMV_HASH_SPACE
     assert st["n_common"] == 100
     assert st["n_union_below_theta"] == 300
     assert st["union_est"] == 300.0
@@ -130,7 +131,7 @@ def test_grouped_pair_estimates_spark(spark):
     by_g: dict[str, KMVSketch] = {}
     for g, v in rows:
         by_g.setdefault(g, mk()).update_batch(np.array([v]))
-    p = MERSENNE_PRIME
+    p = KMV_HASH_SPACE
     for ga, gb in got:
         st = KMVSketch.pair_stats(by_g[ga], by_g[gb])
         r = got[(ga, gb)]
