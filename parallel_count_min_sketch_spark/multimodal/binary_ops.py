@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched kernels.
 
-The image path is REAL: a dependency-free numpy BMP codec (24-bit
-uncompressed, bottom-up or top-down) plus nearest-neighbor resize —
-``decode_image`` dispatches on magic bytes and decodes BMP natively.
-Formats whose codecs are genuinely absent from this container (PNG/JPEG/
-GIF/RIFF) raise ``NotImplementedError`` with the library a deployment
-would drop in; opaque non-image blobs route through ``byte_tensor``, a
+The image path is REAL: dependency-free numpy codecs for BMP (24-bit
+uncompressed, bottom-up or top-down) AND binary PPM (P6, 8-bit maxval,
+comment-tolerant header) plus nearest-neighbor resize — ``decode_image``
+dispatches on magic bytes and decodes both natively, so mixed-format
+image columns exercise real per-row format dispatch. Formats whose
+codecs are genuinely absent from this container (PNG/JPEG/GIF/RIFF)
+raise ``NotImplementedError`` with the library a deployment would drop
+in; opaque non-image blobs route through ``byte_tensor``, a
 deterministic digest-derived featurizer (a real featurizer for arbitrary
 bytes — NOT a decode stand-in).
 """
@@ -29,6 +31,7 @@ MAGIC = {
     b"RIFF": "riff",
     b"GIF8": "gif",
     b"BM": "bmp",
+    b"P6": "ppm",
 }
 
 META_SCHEMA = "byte_len BIGINT, sniffed_format STRING, sha1 STRING"
@@ -107,6 +110,57 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """H x W x 3 uint8 RGB -> binary PPM (P6, maxval 255). Pixels are
+    row-major top-down RGB — no padding, no channel swap (the simplest
+    of the classic raster formats)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 uint8 array, got shape {img.shape}")
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> H x W x 3 uint8 RGB. Full header grammar:
+    ASCII tokens (width, height, maxval) separated by whitespace, with
+    ``#``-to-end-of-line comments allowed anywhere between tokens, then
+    ONE whitespace byte before the raw pixel array."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM blob")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        # skip whitespace and comments between tokens
+        while pos < len(data):
+            c = data[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = data.find(b"\n", pos)
+                pos = len(data) if nl < 0 else nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates header from pixels
+    w, h, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError(
+            f"only 8-bit PPM is supported (got maxval={maxval})")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    need = w * h * 3
+    if pos + need > len(data):
+        raise ValueError("truncated PPM pixel array")
+    px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    return np.ascontiguousarray(px.reshape(h, w, 3))
+
+
 def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
     """Nearest-neighbor resize (floor index map src = dst * src_dim //
     dst_dim) — deterministic, pure numpy."""
@@ -116,16 +170,18 @@ def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode an image blob by magic-byte dispatch. BMP decodes natively
-    (pure numpy); formats needing codec libraries absent from this
-    container raise with the drop-in library named."""
+    """Decode an image blob by magic-byte dispatch. BMP and PPM (P6)
+    decode natively (pure numpy); formats needing codec libraries absent
+    from this container raise with the drop-in library named."""
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
     for magic, name in MAGIC.items():
         if data[: len(magic)] == magic:
             raise NotImplementedError(
                 f"{name} decoding needs a codec library (PIL/libvips) not "
-                "present in this container; BMP is the built-in path")
+                "present in this container; BMP/PPM are the built-in paths")
     raise ValueError("unrecognized image format (no known magic bytes)")
 
 
@@ -183,9 +239,9 @@ def sample_frames(df: DataFrame, bin_col: str, id_col: str, *,
 
 def extract_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
     """Arrow-batched decode + feature extraction: (id, mean_intensity_bp,
-    feat array<float>). BMP blobs decode through the real codec; opaque
-    blobs featurize via ``byte_tensor`` — per-blob magic dispatch, so
-    mixed-modality columns work row by row."""
+    feat array<float>). BMP and PPM blobs decode through the real codecs;
+    opaque blobs featurize via ``byte_tensor`` — per-blob magic dispatch,
+    so mixed-modality columns work row by row."""
     out_schema = "id BIGINT, mean_intensity_bp BIGINT, feat ARRAY<FLOAT>"
     proj = df.select(F.col(id_col).alias("id"), F.col(bin_col).alias("data"))
 
@@ -197,7 +253,12 @@ def extract_features(df: DataFrame, bin_col: str, id_col: str) -> DataFrame:
             means, feats = [], []
             for blob in blobs:
                 blob = blob or b""
-                img = decode_bmp(blob) if blob[:2] == b"BM" else byte_tensor(blob)
+                if blob[:2] == b"BM":
+                    img = decode_bmp(blob)
+                elif blob[:2] == b"P6":
+                    img = decode_ppm(blob)
+                else:
+                    img = byte_tensor(blob)
                 means.append(int(img.mean() * 100))
                 feats.append(img.mean(axis=(0, 1)).astype(np.float32).tolist())
             yield pa.RecordBatch.from_pydict(

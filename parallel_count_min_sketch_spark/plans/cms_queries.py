@@ -620,6 +620,102 @@ def q_cms_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_stream_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-maintained rollup store parity as a driver-gated contract
+    (the streaming twin of ``stream_batch_parity``, for the ROLLUP store):
+    the events table is staged as multiple parquet files and drained
+    through ``streaming/stream_rollup.rollup_sink`` (availableNow,
+    maxFilesPerTrigger=1 so several micro-batches really occur), each
+    micro-batch writing idempotent per-(batch, day) CMS partials. The
+    [ROLLUP_LO, ROLLUP_HI] range merge over the stream-maintained store,
+    over its compacted form (``compact_rollup``), and over a one-shot
+    batch rollup of the same rows must all be BYTE-IDENTICAL — that is
+    the associativity contract that lets a stream maintain the store
+    incrementally. Output columns are oracle-replayable: the range event
+    count and the user-49 point estimate are exact SQL arithmetic over
+    the date-filtered rows; the equality booleans are TRUE by the merge
+    contract; multi_batch proves the stream really split."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.rollup import cms_rollup_range, cms_time_buckets
+    from ..streaming.stream_rollup import (
+        compact_rollup,
+        read_stream_rollup,
+        start_rollup_stream,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="pcms_rollup_parity_")
+    try:
+        src = os.path.join(tmp, "incoming")
+        ev.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store = os.path.join(tmp, "store")
+        q = start_rollup_stream(stream, ROLLUP_CFG, "ts", "user_id", store,
+                                os.path.join(tmp, "ckpt"))
+        if not q.awaitTermination(300):
+            raise TimeoutError("rollup stream did not drain within 300s")
+
+        streamed_df = read_stream_rollup(spark, store)
+        n_batches = streamed_df.select("batch_id").distinct().count()
+        sk_stream = cms_rollup_range(streamed_df, ROLLUP_LO, ROLLUP_HI,
+                                     ROLLUP_CFG)
+        compacted = os.path.join(tmp, "compacted")
+        compact_rollup(spark, store, compacted, ROLLUP_CFG)
+        sk_compact = cms_rollup_range(spark.read.parquet(compacted),
+                                      ROLLUP_LO, ROLLUP_HI, ROLLUP_CFG)
+        sk_batch = cms_rollup_range(
+            cms_time_buckets(ev, "ts", "user_id", ROLLUP_CFG),
+            ROLLUP_LO, ROLLUP_HI, ROLLUP_CFG)
+        est49 = int(sk_stream.point_query(
+            np.array([49], dtype=np.int64))[0])
+        row = (
+            int(sk_stream.total),
+            est49,
+            bool(sk_stream.to_bytes() == sk_batch.to_bytes()),
+            bool(sk_compact.to_bytes() == sk_batch.to_bytes()),
+            bool(n_batches >= 2),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "range_events BIGINT, est_user49 BIGINT, stream_equals_batch BOOLEAN, "
+        "compacted_equals_batch BOOLEAN, multi_batch BOOLEAN",
+    )
+
+
+def _sql_stream_rollup_parity() -> str:
+    in_range = (
+        f"CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}' "
+        "AND ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    return f"""
+WITH ids AS (SELECT user_id AS item_id FROM events WHERE {in_range}),
+probes AS (SELECT CAST(49 AS BIGINT) AS item, CAST(49 AS BIGINT) AS item_id),
+buckets AS ({_duck_buckets_cte('item_id', ROLLUP_CFG)}),
+probe_buckets AS ({_duck_probe_buckets(ROLLUP_CFG)}),
+meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS range_events
+         FROM events WHERE {in_range})
+SELECT m.range_events,
+       CAST(MIN(COALESCE(b.counter, 0)) AS BIGINT) AS est_user49,
+       TRUE AS stream_equals_batch,
+       TRUE AS compacted_equals_batch,
+       TRUE AS multi_batch
+FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket), meta m
+GROUP BY m.range_events
+"""
+
+
 def _sql_cms_time_rollup() -> str:
     probe_vals = ", ".join(f"({u})" for u in ROLLUP_PROBES)
     in_range = (
@@ -651,6 +747,7 @@ CMS_QUERIES = {
     "mg_frequent_tokens": (q_mg_frequent_tokens, SQL_MG_FREQUENT_TOKENS),
     "mg_grouped_frequent": (q_mg_grouped_frequent, SQL_MG_GROUPED_FREQUENT),
     "stream_batch_parity": (q_stream_batch_parity, _sql_stream_batch_parity()),
+    "stream_rollup_parity": (q_stream_rollup_parity, _sql_stream_rollup_parity()),
     "cms_accuracy_report": (q_cms_accuracy_report, SQL_CMS_ACCURACY_REPORT),
     "cms_sketch_table": (q_cms_sketch_table, SQL_CMS_SKETCH_TABLE),
     "cms_weighted_build": (q_cms_weighted_build, SQL_CMS_WEIGHTED_BUILD),

@@ -817,25 +817,34 @@ IMG_RS = 4
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode through the pure-numpy BMP codec: a deterministic
-    per-doc image is encoded to 24-bit BMP bytes, decoded back through
-    ``decode_image`` (magic dispatch -> decode_bmp: header parse, row
-    padding, BGR->RGB, bottom-up flip), nearest-neighbor resized, and
-    reduced to integer stats. The DuckDB oracle computes the SAME stats in
-    closed form from the pixel formula — any decoder bug (stride, channel
-    order, row order, header offsets) breaks the value hash."""
+    """REAL image decode over a MIXED-FORMAT column through the pure-numpy
+    codecs: a deterministic per-doc image is encoded to 24-bit BMP bytes
+    (even doc_id) or binary P6 PPM bytes (odd doc_id), decoded back
+    through ``decode_image`` — per-row magic dispatch into decode_bmp
+    (header parse, row padding, BGR->RGB, bottom-up flip) or decode_ppm
+    (token header, raw top-down RGB) — nearest-neighbor resized, and
+    reduced to integer stats. The DuckDB oracle computes the SAME stats
+    in closed form from the pixel formula plus each format's exact size
+    arithmetic — any decoder or dispatch bug breaks the value hash."""
     import pyarrow as pa
 
     from ..memtune import tune_allocator
-    from ..multimodal.binary_ops import decode_image, encode_bmp, resize_nearest
+    from ..multimodal.binary_ops import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    out_schema = ("doc_id BIGINT, width BIGINT, height BIGINT, "
-                  "bmp_bytes BIGINT, px_sum BIGINT, chan0_sum BIGINT, "
+    out_schema = ("doc_id BIGINT, fmt STRING, width BIGINT, height BIGINT, "
+                  "blob_bytes BIGINT, px_sum BIGINT, chan0_sum BIGINT, "
                   "resized_sum BIGINT")
-    pa_schema = pa.schema([(n, pa.int64()) for n in (
-        "doc_id", "width", "height", "bmp_bytes", "px_sum", "chan0_sum",
-        "resized_sum")])
+    pa_schema = pa.schema(
+        [("doc_id", pa.int64()), ("fmt", pa.string())]
+        + [(n, pa.int64()) for n in (
+            "width", "height", "blob_bytes", "px_sum", "chan0_sum",
+            "resized_sum")])
     import numpy as np
 
     def kernel(batches):
@@ -849,13 +858,14 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = np.arange(w)[None, :, None]
                 c = np.arange(3)[None, None, :]
                 img = ((did * 31 + y * 97 + x * 13 + c * 7) % 256).astype(np.uint8)
-                blob = encode_bmp(img)
-                dec = decode_image(blob)  # the real decode under test
+                blob = encode_bmp(img) if did % 2 == 0 else encode_ppm(img)
+                dec = decode_image(blob)  # the real dispatch+decode under test
                 rs = resize_nearest(dec, IMG_RS, IMG_RS)
                 cols["doc_id"].append(did)
+                cols["fmt"].append("bmp" if did % 2 == 0 else "ppm")
                 cols["width"].append(w)
                 cols["height"].append(h)
-                cols["bmp_bytes"].append(len(blob))
+                cols["blob_bytes"].append(len(blob))
                 cols["px_sum"].append(int(dec.sum()))
                 cols["chan0_sum"].append(int(dec[:, :, 0].sum()))
                 cols["resized_sum"].append(int(rs.sum()))
@@ -864,6 +874,8 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(kernel, out_schema).orderBy("doc_id")
 
 
+# blob size arithmetic per format: BMP = 54-byte headers + padded rows;
+# PPM = "P6\n{w} {h}\n255\n" header (9 + digits) + raw w*h*3 pixels
 SQL_IMAGE_STATS = f"""
 WITH dims AS (
   SELECT doc_id, 4 + doc_id % {IMG_WMOD} AS w, 4 + doc_id % {IMG_HMOD} AS h
@@ -891,8 +903,14 @@ rs AS (
   CROSS JOIN range(0, 3) c(c)
   GROUP BY d.doc_id
 )
-SELECT d.doc_id, CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
-       CAST(54 + d.h * ((d.w*3 + 3)//4*4) AS BIGINT) AS bmp_bytes,
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       CAST(CASE WHEN d.doc_id % 2 = 0
+                 THEN 54 + d.h * ((d.w*3 + 3)//4*4)
+                 ELSE 9 + length(CAST(d.w AS VARCHAR))
+                      + length(CAST(d.h AS VARCHAR)) + d.w * d.h * 3
+            END AS BIGINT) AS blob_bytes,
        px.px_sum, px.chan0_sum, rs.resized_sum
 FROM dims d JOIN px USING (doc_id) JOIN rs USING (doc_id)
 ORDER BY doc_id

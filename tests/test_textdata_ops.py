@@ -490,6 +490,44 @@ def test_bmp_decoder_handles_top_down_and_rejects_garbage():
         decode_bmp(encode_bmp(img)[:40])  # truncated
 
 
+def test_ppm_roundtrip_identity():
+    """encode_ppm -> decode_ppm is the identity, and decode_image
+    dispatches P6 blobs to the native PPM decoder."""
+    from parallel_count_min_sketch_spark.multimodal.binary_ops import (
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    for w in (1, 3, 7, 12):
+        for h in (1, 2, 5):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            blob = encode_ppm(img)
+            assert blob[:2] == b"P6"
+            assert np.array_equal(decode_ppm(blob), img)
+            assert np.array_equal(decode_image(blob), img)
+
+
+def test_ppm_decoder_header_grammar_and_rejects():
+    from parallel_count_min_sketch_spark.multimodal.binary_ops import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    # comments and extra whitespace between header tokens are legal PPM
+    commented = (b"P6\n# a comment\n 3  # trailing\n2\n# more\n255\n"
+                 + img.tobytes())
+    assert np.array_equal(decode_ppm(commented), img)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n3 2\n255\n" + img.tobytes())  # not P6
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:12])  # truncated pixels
+    with pytest.raises(NotImplementedError):
+        decode_ppm(b"P6\n3 2\n65535\n" + img.tobytes() * 2)  # 16-bit
+
+
 def test_resize_nearest_matches_naive():
     from parallel_count_min_sketch_spark.multimodal.binary_ops import resize_nearest
 
