@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     # graph is ~2M genuine edges at sf0.1, so the timing measures pair
     # volume, not the closure operator — BENCH/components_scale.json
     # carries the operator's own 10M-edge evidence)
+    # (stream_rollup_parity / stream_batch_parity stage temp parquet and
+    # drain a file stream — their wall time measures staging I/O, not an
+    # operator; they stay gate-only)
 ]
 
 

@@ -317,7 +317,12 @@ def mg_frequent_tokens(df, text_col: str, k: int, phi: float) -> DataFrame:
         [(int(i), int(c)) for i, c in zip(mg.items[keep], mg.counts[keep])],
         "item_id LONG, mg_lower LONG",
     )
-    toks_id = toks.withColumn("item_id", F.expr(djb2_sql_spark("tok")))
+    # coalesce marks the hash non-nullable (it never IS null for the
+    # non-empty tokens here): without it the broadcast equi-join infers
+    # isnotnull(item_id) and predicate pushdown inlines the whole djb2
+    # fold into a Filter - every token hashed TWICE
+    toks_id = toks.withColumn(
+        "item_id", F.expr(f"coalesce({djb2_sql_spark('tok')}, 0)"))
     exact = (
         toks_id.join(F.broadcast(cand), "item_id")
         .groupBy("tok", "mg_lower")
@@ -393,7 +398,12 @@ def mg_grouped_frequent_tokens(df, group_col: str, text_col: str,
                    ("mg_lower", pa.int64()), ("n_g", pa.int64()),
                    ("mg_offset", pa.int64())]),
     )
-    toks_id = toks.withColumn("item_id", F.expr(djb2_sql_spark("tok")))
+    # coalesce marks the hash non-nullable (it never IS null for the
+    # non-empty tokens here): without it the broadcast equi-join infers
+    # isnotnull(item_id) and predicate pushdown inlines the whole djb2
+    # fold into a Filter - every token hashed TWICE
+    toks_id = toks.withColumn(
+        "item_id", F.expr(f"coalesce({djb2_sql_spark('tok')}, 0)"))
     exact = (
         toks_id.join(F.broadcast(cand), ["group", "item_id"])
         .groupBy("group", "tok", "mg_lower", "n_g", "mg_offset")

@@ -357,18 +357,30 @@ def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
         )
 
     scores = F.array(*[dot_lit(vec_col, c) for c in cents])
-    # materialize the score array ONCE per row; argmax = first maximum
+    # materialize the score array ONCE per row; argmax = first maximum.
+    # The coalesce marks the cluster id non-nullable: without it the
+    # equi-join below infers isnotnull(cluster), and predicate pushdown
+    # inlines the ENTIRE per-centroid score array into a Filter — the
+    # whole assignment computed twice per corpus row (observed as a 26KB
+    # Filter node in the optimized plan). coalesce(expr, lit) is provably
+    # non-null, so the inferred filter folds away. Never fires: the score
+    # array is non-empty by construction.
     base = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
                      scores.alias("_scores"))
     assigned = base.select(
         "nid", "nvec",
-        (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1)
-        .cast("int").alias("cluster"),
+        F.coalesce(
+            (F.array_position(F.col("_scores"), F.array_max(F.col("_scores")))
+             - 1).cast("int"),
+            F.lit(-1)).alias("cluster"),
     )
+    # posexplode_OUTER + null-drop: a plain posexplode triggers
+    # InferFiltersFromGenerate, inlining the score array into a size()
+    # filter (the same double-evaluation, on the query rows)
     q_base = base.filter(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("qid"), F.col("nvec").alias("qvec"),
-        F.posexplode(F.col("_scores")).alias("cluster", "score"),
-    )
+        F.posexplode_outer(F.col("_scores")).alias("cluster", "score"),
+    ).filter(F.col("score").isNotNull())
     wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cluster"))
     probes = (
         q_base.withColumn("crank", F.row_number().over(wq))

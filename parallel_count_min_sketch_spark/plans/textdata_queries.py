@@ -1107,28 +1107,81 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: (1) one explode + groupBy(doc_id, tok) — partial/final
     agg, the map-side combine collapses each doc's repeats before the
-    shuffle (docs are partition-local); (2) df folds from that same
-    (doc, DISTINCT token) stream with a bounded groupBy(tok); (3) the
-    tf←→df join shuffles on tok (both sides already hash-partitioned by
-    the aggs — AQE reuses the exchange where it can); (4) per-doc top-K
-    is a window over doc_id — high-cardinality partition key, tiny
-    per-partition sort. No distinct-universe collect, no cross join,
-    no float.
+    shuffle (doc-local sorted-run counting in codegen — see
+    _with_tf_pairs); (2) df folds from that stream with a bounded
+    groupBy(tok); (3) the tf←→df join shuffles on tok; (4) per-doc
+    top-K is a window over doc_id — high-cardinality partition key,
+    tiny per-partition sort. No distinct-universe collect, no cross
+    join, no float.
 
     Beyond-reference training-data operator (the reference has no
     document scoring); the tf/df rails match ``q_vocab_stats``."""
     return tfidf_top_terms_df(load(spark, sf_dir, "documents"))
 
 
+def _with_tf_pairs(docs: DataFrame, arr_expr) -> DataFrame:
+    """Doc-local exact term frequencies with ZERO shuffle: sort the doc's
+    token array, find run starts, and zip each start with the next start
+    — one (tok, tf) struct per DISTINCT token, all in whole-stage codegen
+    higher-order functions. This replaces the explode + groupBy(doc, tok)
+    shape, whose corpus-wide (doc, token) hash aggregate was the dominant
+    shuffle of the text operators (and, fed into two join branches,
+    Catalyst computed it TWICE — no CSE across join children: the r4
+    two-level runs measured 0.61-0.65 scaling efficiency for exactly
+    that plan). Linear per doc after the O(t log t) local sort.
+
+    Returns docs + ``_l`` (token array) + ``_pairs``
+    (array<struct<tok,tf>>, empty for token-less docs)."""
+    d = docs.withColumn("_l", arr_expr).withColumn(
+        "_s", F.expr("sort_array(_l)"))
+    # run starts (1-based). sequence(1, 0) would count DOWN — guard empty.
+    # The OR short-circuits, so element_at(_s, i - 1) never sees i = 1.
+    d = d.withColumn("_starts", F.expr(
+        "CASE WHEN size(_s) = 0 THEN CAST(array() AS array<int>) "
+        "ELSE filter(sequence(1, size(_s)), i -> "
+        "i = 1 OR element_at(_s, i) != element_at(_s, i - 1)) END"))
+    # tf of the run starting at a = (next start) - a
+    d = d.withColumn("_pairs", F.expr(
+        "CASE WHEN size(_starts) = 0 THEN "
+        "CAST(array() AS array<struct<tok: string, tf: bigint>>) "
+        "ELSE zip_with(_starts, "
+        "concat(slice(_starts, 2, greatest(size(_starts) - 1, 0)), "
+        "array(size(_s) + 1)), "
+        "(a, b) -> struct(element_at(_s, a) AS tok, "
+        "CAST(b - a AS BIGINT) AS tf)) END"))
+    return d.drop("_s", "_starts")
+
+
 def tfidf_top_terms_df(docs: DataFrame) -> DataFrame:
     """Core of :func:`q_tfidf_top_terms` over any ``(doc_id, text)``
     DataFrame — split out so scale benches can drive it on synthetic
-    corpora (scripts/text_ops_bench.py)."""
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
+    corpora (scripts/text_ops_bench.py).
+
+    Plan shape: term frequencies are doc-local (``_with_tf_pairs``,
+    zero shuffle — replaces the r4 corpus-wide explode +
+    groupBy(doc, tok) hash aggregate), df folds from that stream with a
+    bounded groupBy(tok), and the tf←→df join shuffles on tok. The tf
+    subtree still feeds two join children (Catalyst does not CSE across
+    them), but the duplicated work is now a MAP-ONLY scan, not a
+    duplicated shuffle-aggregate as in r4. (A window-over-tok df — one
+    shuffle fewer on paper — was measured 20x SLOWER: WindowExec
+    buffers per partition-key group, and millions of tiny token groups
+    drown it in per-group overhead. Rejected.)"""
+    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
+    # explode_OUTER, then drop the null rows of token-less docs: a plain
+    # explode triggers InferFiltersFromGenerate, whose size(_pairs) > 0
+    # filter is pushed below the Project and INLINES the whole HOF kernel
+    # into an interpreted Filter expression (sort_array re-evaluated per
+    # lambda element — measured 100x slower: 180 s vs 1.8 s for the same
+    # 50k-doc kernel). The null check on the generator OUTPUT cannot sink
+    # below the Generate, so the kernel stays a once-per-row Project.
+    dt = (
+        _with_tf_pairs(docs.select("doc_id", "text"), toks_arr)
+        .select("doc_id", F.explode_outer("_pairs").alias("_p"))
+        .filter(F.col("_p").isNotNull())
+        .select("doc_id", F.col("_p.tok").alias("tok"),
+                F.col("_p.tf").alias("tf"))
     )
-    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("_n"))
     scored = (
@@ -1182,60 +1235,67 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts-per-million so the DuckDB oracle value-hashes bit-for-bit
     (no float division).
 
-    Scale shape: unigram stats ride the same explode →
-    groupBy(doc_id, tok) rails as ``vocab_stats`` (docs are
-    partition-local, so the map-side combine collapses in-doc repeats
-    before the shuffle); bigrams are built doc-locally with
-    whole-stage-codegen array functions (slice + zip_with — no
-    self-join, no window over token positions) and fold through the
-    same two-level agg. The final per-doc join keys on doc_id, which
-    both sides are already hash-partitioned on. Beyond-reference
-    training-data operator."""
-    return doc_repetition_df(load(spark, sf_dir, "documents"))
+    Scale shape: MAP-ONLY — every signal (token/bigram counts,
+    distincts, top-run tf) computes doc-locally from sorted arrays in
+    whole-stage codegen (_with_tf_pairs); bigrams are built with
+    slice + zip_with (no self-join, no window over token positions).
+    No explode, no shuffle, no join anywhere in the operator; the only
+    exchange is this wrapper's presentation-order sort.
+    Beyond-reference training-data operator."""
+    return doc_repetition_df(load(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
 
 
 def doc_repetition_df(docs: DataFrame) -> DataFrame:
     """Core of :func:`q_doc_repetition` over any ``(doc_id, text)``
-    DataFrame (scale benches drive it on synthetic corpora)."""
-    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
-    base = docs.select("doc_id", toks_arr.alias("l"))
+    DataFrame (scale benches drive it on synthetic corpora).
 
+    Plan shape: MAP-ONLY. Every signal (token counts, distincts, top
+    token tf, top bigram tf) is computed doc-locally from the sorted
+    token/bigram arrays via ``_with_tf_pairs`` — no explode, no
+    (doc, token) shuffle, no two-branch doc_id join (the r4 plan
+    tokenized the corpus twice and joined two corpus-wide aggregates;
+    its measured 0.61 scaling efficiency was that shuffle machinery,
+    not the arithmetic). A map-only operator scales linearly by
+    construction — output rows = input rows, partition-local."""
+    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
+    uni = _with_tf_pairs(docs.select("doc_id", "text"), toks_arr)
     uni = (
-        base.select("doc_id", F.explode("l").alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_tokens"),
-             F.count(F.lit(1)).alias("n_distinct"),
-             F.max("c").alias("top_tok_tf"))
+        uni.select(
+            "doc_id",
+            F.size("_l").cast("long").alias("n_tokens"),
+            F.size("_pairs").cast("long").alias("n_distinct"),
+            F.expr("CASE WHEN size(_pairs) = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE array_max(transform(_pairs, p -> p.tf)) END")
+            .alias("top_tok_tf"),
+            F.col("_l").alias("l"),
+        )
+        # docs with zero tokens drop out, matching the exploded/grouped
+        # form (and the oracle's unnest) which never emits rows for them
+        .filter(F.col("n_tokens") > 0)
     )
     bigrams = F.expr(
         "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
         "         slice(l, 2, greatest(size(l) - 1, 0)),"
         "         (a, b) -> concat(a, ' ', b))")
-    big = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"),
-             F.max("c").alias("top_bigram_tf"))
-    )
-    s = F.lit(REP_SCALE).cast("long")
+    big = _with_tf_pairs(uni, bigrams)
     return (
-        uni.join(big, "doc_id", "left")
-        .select(
+        big.select(
             "doc_id", "n_tokens", "n_distinct", "top_tok_tf",
-            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
-            F.coalesce("top_bigram_tf", F.lit(0)).cast("long")
+            F.size("_l").cast("long").alias("n_bigrams"),
+            F.expr("CASE WHEN size(_pairs) = 0 THEN CAST(0 AS BIGINT) "
+                   "ELSE array_max(transform(_pairs, p -> p.tf)) END")
             .alias("top_bigram_tf"),
             F.expr(f"(n_distinct * CAST({REP_SCALE} AS BIGINT))"
                    " div n_tokens").alias("distinct_ppm"),
             F.expr(f"(top_tok_tf * CAST({REP_SCALE} AS BIGINT))"
                    " div n_tokens").alias("top_tok_ppm"),
-            F.expr(f"CASE WHEN n_bigrams IS NULL OR n_bigrams = 0 THEN 0"
-                   f" ELSE (top_bigram_tf * CAST({REP_SCALE} AS BIGINT))"
-                   " div n_bigrams END").alias("top_bigram_ppm"),
+            F.expr(f"CASE WHEN size(_l) = 0 THEN CAST(0 AS BIGINT)"
+                   f" ELSE (CASE WHEN size(_pairs) = 0 THEN CAST(0 AS BIGINT)"
+                   " ELSE array_max(transform(_pairs, p -> p.tf)) END"
+                   f" * CAST({REP_SCALE} AS BIGINT))"
+                   " div size(_l) END").alias("top_bigram_ppm"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1403,9 +1463,16 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     # (h, array<shingle>) keeps it EXACT: a probe matches the hash first,
     # then confirms the string via array_contains, so an h collision
     # (corpus-vs-bench or bench-internal) can never flip a count.
+    # explode_OUTER + null-drop everywhere in this query: a plain explode
+    # triggers InferFiltersFromGenerate, whose size(_sh) > 0 predicate is
+    # pushed below the Project and inlines the WHOLE shingling expression
+    # into the filter — every doc would be shingled TWICE per branch
+    # (observed as a ~610-char Filter node in the optimized plan). The
+    # null check on the generator output cannot sink below the Generate.
     bench = (
         base.filter(F.col("doc_id") % mod == 0)
-        .select(F.explode("_sh").alias("_bsh")).distinct()
+        .select(F.explode_outer("_sh").alias("_bsh"))
+        .filter(F.col("_bsh").isNotNull()).distinct()
         .groupBy(F.xxhash64("_bsh").alias("_h"))
         .agg(F.collect_list("_bsh").alias("_bench_sh"))
     )
@@ -1418,7 +1485,8 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     # left join, which never touches text).
     ex = (
         base.filter(F.col("doc_id") % mod != 0)
-        .select("doc_id", F.explode("_sh").alias("shingle"))
+        .select("doc_id", F.explode_outer("_sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .withColumn("_h", F.xxhash64("shingle"))
     )
     hit = F.when(

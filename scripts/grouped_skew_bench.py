@@ -1,0 +1,195 @@
+"""Grouped sketch build under HOT-KEY skew: two-phase partials vs naive
+groupBy-applyInPandas.
+
+The 100x question for per-group sketching (one CMS per host/language/
+shard) is what happens when one group holds a constant fraction of the
+corpus. The library's grouped rails (operators/sketch_agg.sketch_grouped)
+never shuffle raw rows by group: every scan partition folds partials for
+the groups IT holds, and only KB-sized (partition, group) partial rows
+shuffle for the phase-2 merge — so a group with 20% of all rows is
+processed by ALL tasks in parallel and merge cost stays O(partitions).
+The naive plan (groupBy(group) + applyInPandas) shuffles every row to
+its group's task: the hot group becomes one straggler task doing 20% of
+the total work alone, and its runtime FLOOR is total_work * share no
+matter how many executors exist.
+
+This bench measures both plans on the same Pareto-skewed input (hottest
+host ~20% of rows) and records per-task wall times measured INSIDE the
+Python kernels (one kernel invocation = one task), so the straggler is
+visible as a max/median task-time ratio, not just end-to-end wall.
+
+Output: BENCH/grouped_skew.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_ROWS = int(os.environ.get("SKEW_BENCH_ROWS", str(50_000_000)))
+N_HOSTS = 5_000
+HOT_SHARE = 0.2          # hottest host holds ~20% of all rows
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EPS, DELTA, SEED = 0.001, 0.1, 12345
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("grouped-skew-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def skewed_df(spark):
+    """(host STRING, item BIGINT): host 'h0' gets HOT_SHARE of rows, the
+    rest spread uniformly over N_HOSTS-1 hosts — all JVM-side expressions,
+    deterministic via xxhash64 of the row id."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, N_ROWS, 1, CPUS * 2)
+    u = (F.abs(F.xxhash64("id")) % 1_000_000) / 1_000_000.0
+    host_idx = F.when(u < HOT_SHARE, F.lit(0)).otherwise(
+        (F.abs(F.xxhash64("id", F.lit(1))) % (N_HOSTS - 1)) + 1)
+    item = F.abs(F.xxhash64("id", F.lit(2))) % 100_000
+    return df.select(
+        F.concat(F.lit("h"), host_idx.cast("string")).alias("host"),
+        item.alias("item"))
+
+
+def _timed_partials(df):
+    """The library's two-phase grouped CMS build (phase 1 verbatim shape:
+    per-partition fold via iter_group_segments), instrumented to emit one
+    (task_sec, n_rows) row per kernel invocation (= per task)."""
+    from parallel_count_min_sketch_spark.config import CMSConfig
+    from parallel_count_min_sketch_spark.operators.agg import iter_group_segments
+
+    cfg = CMSConfig(epsilon=EPS, delta=DELTA, seed=SEED)
+
+    def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.perf_counter()
+        sketches: dict = {}
+        rows = 0
+        for batch in batches:
+            vals = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            rows += len(vals)
+            for g, seg, _w in iter_group_segments(batch, vals, None):
+                sk = sketches.get(g)
+                if sk is None:
+                    sk = cfg.new_sketch()
+                    sketches[g] = sk
+                sk.update_batch(seg)
+        blobs = [sk.to_bytes() for sk in sketches.values()]
+        yield pa.RecordBatch.from_pydict(
+            {"task_sec": [time.perf_counter() - t0],
+             "n_rows": [rows],
+             "n_groups": [len(sketches)],
+             "blob_bytes": [sum(len(b) for b in blobs)]},
+            schema=pa.schema([("task_sec", pa.float64()), ("n_rows", pa.int64()),
+                              ("n_groups", pa.int64()), ("blob_bytes", pa.int64())]))
+
+    return df.mapInArrow(fold, "task_sec DOUBLE, n_rows LONG, n_groups LONG, blob_bytes LONG")
+
+
+def _timed_naive(df):
+    """Naive plan: shuffle ALL rows by group, one applyInPandas call per
+    group builds that group's sketch alone."""
+    from parallel_count_min_sketch_spark.config import CMSConfig
+
+    cfg = CMSConfig(epsilon=EPS, delta=DELTA, seed=SEED)
+
+    def build(pdf):
+        import pandas as pd
+
+        t0 = time.perf_counter()
+        sk = cfg.new_sketch()
+        sk.update_batch(pdf["item"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({
+            "host": [pdf["host"].iloc[0]],
+            "task_sec": [time.perf_counter() - t0],
+            "n_rows": [len(pdf)],
+            "blob_bytes": [len(sk.to_bytes())],
+        })
+
+    return df.groupBy("host").applyInPandas(
+        build, "host STRING, task_sec DOUBLE, n_rows LONG, blob_bytes LONG")
+
+
+def stats(rows, key="task_sec"):
+    xs = sorted(r[key] for r in rows)
+    n = len(xs)
+    med = xs[n // 2]
+    return {
+        "tasks": n,
+        "median_task_sec": round(med, 3),
+        "p95_task_sec": round(xs[int(n * 0.95)], 3),
+        "max_task_sec": round(xs[-1], 3),
+        "max_over_median": round(xs[-1] / med, 1) if med > 0 else None,
+    }
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    df = skewed_df(spark).persist()
+    n = df.count()
+    hot = df.filter("host = 'h0'").count()
+
+    results = {}
+    for name, fn in (("two_phase_partials", _timed_partials),
+                     ("naive_groupby_applyinpandas", _timed_naive)):
+        runs = []
+        per_task = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = [r.asDict() for r in fn(df).collect()]
+            runs.append(round(time.perf_counter() - t0, 2))
+            per_task = rows
+        results[name] = {
+            "wall_runs_sec": runs,
+            "wall_median_sec": sorted(runs)[1],
+            **stats(per_task),
+        }
+        if name == "naive_groupby_applyinpandas":
+            hot_task = max(per_task, key=lambda r: r["n_rows"])
+            results[name]["hot_group_rows"] = int(hot_task["n_rows"])
+            results[name]["hot_group_task_sec"] = round(hot_task["task_sec"], 3)
+
+    df.unpersist()
+    out = {
+        "bench": "grouped_skew",
+        "rows": int(n),
+        "hosts": N_HOSTS,
+        "hot_host_rows": int(hot),
+        "hot_share": round(hot / n, 4),
+        "cpus": CPUS,
+        "plans": results,
+        "note": ("two-phase partials: every task folds ~rows/partitions "
+                 "regardless of key skew (max/median ~1); naive groupBy: "
+                 "the hot group is ONE task doing hot_share of all update "
+                 "work after a full-corpus shuffle — its task time is the "
+                 "job's floor at any cluster size"),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/grouped_skew.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""North-rule two-level scaling runs for the text operators, WITH a task
+metrics profile (shuffle bytes, spill, executor CPU vs run time) parsed
+from the Spark event log — so a sub-linear result is attributable to
+something measured, not hand-waved at "memory bandwidth".
+
+Methodology: identical job at local[N] for each level, FRESH JVM per
+level (subprocess), warmup + 10 timed reps per op (the reference's
+mpi_benchmark.py:143-151 averages 10 runs), stall-excluded median.
+Efficiency(levels a->b) = (t_a * a) / (t_b * b).
+
+Usage:
+  python scripts/text_ops_profile.py                 # parent: runs 2 and 8
+  python scripts/text_ops_profile.py --child --cpus 2  # one level (internal)
+
+Output: BENCH/text_ops_profile.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DOCS = int(os.environ.get("TEXT_PROFILE_DOCS", str(500_000)))
+REPS = int(os.environ.get("TEXT_PROFILE_REPS", "10"))
+LEVELS = [2, 8]
+OPS = ["doc_repetition", "tfidf_top_terms", "benchmark_contamination"]
+STALL_FACTOR = 3.0
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _clean(xs):
+    lo = min(x for x in xs if x >= 0.005)
+    return [x for x in xs if x <= STALL_FACTOR * lo]
+
+
+def child(cpus: int, event_dir: str) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        benchmark_contamination_df,
+        doc_repetition_df,
+        tfidf_top_terms_df,
+    )
+    from text_ops_bench import typical_docs  # same corpus as the scale bench
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"text-profile-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{event_dir}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    path = f"/tmp/text_profile_docs_{DOCS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        typical_docs(spark, DOCS).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    def force(df):
+        return df.agg(*[F.expr(f"bit_xor(xxhash64({c}))").alias(c)
+                        for c in df.columns]).collect()
+
+    fns = {
+        "doc_repetition": lambda: force(doc_repetition_df(docs)),
+        "tfidf_top_terms": lambda: force(tfidf_top_terms_df(docs)),
+        "benchmark_contamination":
+            lambda: force(benchmark_contamination_df(docs)),
+    }
+    out = {}
+    for name in OPS:
+        fn = fns[name]
+        fn()  # warmup (JIT, page cache)
+        # mark rep boundaries with job groups so the parent can attribute
+        # tasks to (op, rep) from the event log
+        walls = []
+        for r in range(REPS):
+            spark.sparkContext.setJobGroup(f"{name}/{r}", name)
+            t0 = time.perf_counter()
+            fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        spark.sparkContext.setJobGroup("idle", "idle")
+        out[name] = walls
+    print("CHILD_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def parse_event_log(event_dir: str) -> dict:
+    """Sum task metrics per job-group op name from the (single) app log."""
+    files = [f for f in glob.glob(os.path.join(event_dir, "*"))
+             if not f.endswith(".inprogress")] or glob.glob(
+                 os.path.join(event_dir, "*"))
+    agg: dict = {}
+    job_group_of_job: dict = {}
+    stages_of_job: dict = {}
+    op_of_stage: dict = {}
+    for fp in files:
+        with open(fp) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                k = ev.get("Event")
+                if k == "SparkListenerJobStart":
+                    props = ev.get("Properties") or {}
+                    grp = props.get("spark.jobGroup.id", "")
+                    op = grp.split("/")[0] if "/" in grp else grp
+                    jid = ev["Job ID"]
+                    job_group_of_job[jid] = op
+                    for sid in ev.get("Stage IDs", []):
+                        op_of_stage[sid] = op
+                    stages_of_job[jid] = ev.get("Stage IDs", [])
+                elif k == "SparkListenerTaskEnd":
+                    op = op_of_stage.get(ev.get("Stage ID"))
+                    if not op or op not in OPS:
+                        continue
+                    m = ev.get("Task Metrics") or {}
+                    a = agg.setdefault(op, {
+                        "tasks": 0, "executor_run_ms": 0,
+                        "executor_cpu_ms": 0, "shuffle_write_bytes": 0,
+                        "shuffle_read_bytes": 0, "memory_spill_bytes": 0,
+                        "disk_spill_bytes": 0, "input_bytes": 0})
+                    a["tasks"] += 1
+                    a["executor_run_ms"] += m.get("Executor Run Time", 0)
+                    a["executor_cpu_ms"] += m.get(
+                        "Executor CPU Time", 0) // 1_000_000
+                    sw = m.get("Shuffle Write Metrics") or {}
+                    a["shuffle_write_bytes"] += sw.get("Shuffle Bytes Written", 0)
+                    sr = m.get("Shuffle Read Metrics") or {}
+                    a["shuffle_read_bytes"] += (sr.get("Remote Bytes Read", 0)
+                                                + sr.get("Local Bytes Read", 0))
+                    a["memory_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
+                    a["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
+                    inp = m.get("Input Metrics") or {}
+                    a["input_bytes"] += inp.get("Bytes Read", 0)
+    return agg
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--cpus", type=int, default=2)
+    ap.add_argument("--event-dir", default=None)
+    args = ap.parse_args()
+    if args.child:
+        child(args.cpus, args.event_dir)
+        return
+
+    levels: dict = {}
+    for cpus in LEVELS:
+        event_dir = tempfile.mkdtemp(prefix=f"pcms_evlog_{cpus}_")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--cpus", str(cpus), "--event-dir", event_dir],
+            capture_output=True, text=True, timeout=7200,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        walls = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("CHILD_RESULT "):
+                walls = json.loads(line[len("CHILD_RESULT "):])
+        if walls is None:
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-4000:])
+            raise RuntimeError(f"child local[{cpus}] failed")
+        metrics = parse_event_log(event_dir)
+        lv = {}
+        for op in OPS:
+            runs = walls[op]
+            med = _median(_clean(runs))
+            m = metrics.get(op, {})
+            # per-rep metrics: the warmup is NOT in a job group with the
+            # op prefix... it is (setJobGroup happens before reps only).
+            # Metrics cover the 10 grouped reps; divide for per-rep view.
+            per_rep = {k: v // REPS for k, v in m.items() if k != "tasks"}
+            lv[op] = {
+                "median_sec": round(med, 3),
+                "runs": runs,
+                "n_stalled": len(runs) - len(_clean(runs)),
+                "docs_per_sec": int(DOCS / med),
+                "per_rep_metrics": per_rep,
+                "tasks_total": m.get("tasks", 0),
+            }
+        levels[f"local[{cpus}]"] = lv
+
+    a, b = LEVELS
+    eff = {}
+    for op in OPS:
+        ta = levels[f"local[{a}]"][op]["median_sec"]
+        tb = levels[f"local[{b}]"][op]["median_sec"]
+        eff[op] = round((ta * a) / (tb * b), 3)
+    out = {
+        "bench": "text_ops_profile",
+        "docs": DOCS,
+        "reps": REPS,
+        "levels": levels,
+        f"efficiency_{a}_to_{b}": eff,
+        "note": ("fresh JVM per level; stall-excluded median of 10 reps; "
+                 "per_rep_metrics parsed from the Spark event log "
+                 "(executor cpu vs run time separates compute from "
+                 "idle/stall; shuffle+spill bytes show the exchange "
+                 "volume each plan actually moves)"),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/text_ops_profile.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
