@@ -31,7 +31,7 @@ import pyarrow as pa
 from ..config import CMSConfig
 from ..memtune import tune_allocator
 from ..sketches.cms import CountMinSketch
-from ..sketches.hashing import djb2_batch
+from ..sketches.hashing import affine_hash, djb2_batch
 
 # Bound per-call scratch memory in worker kernels: chunked processing keeps
 # the first-touch page-fault cost per worker tiny and the working set in
@@ -237,6 +237,135 @@ def iter_group_segments(batch: pa.RecordBatch, values: np.ndarray,
                sorted_w[lo:hi] if sorted_w is not None else None)
 
 
+class GroupedCMSFold:
+    """Task-level grouped-CMS accumulator, vectorized ACROSS groups.
+
+    The per-group-segment fold (dict of sketches + ``iter_group_segments``)
+    collapses at high group cardinality: a 10k-row Arrow batch spread over
+    5k groups yields ~2-row segments, so per-segment Python overhead — not
+    counter arithmetic — dominates (measured 5x slower than even a naive
+    shuffle-by-group plan at 50M rows / 5k hosts). This class instead keeps
+    ONE stacked ``(slot, depth, width)`` counter array for all groups the
+    task has seen and scatter-adds every row of a batch in a single
+    ``np.add.at`` call: cost is O(depth * rows) independent of how many
+    groups the rows land in. Memory equals the dict-of-sketches layout
+    (one (depth, width) table per distinct group in the partition), grown
+    geometrically. Only UNIQUE group strings ever cross into Python
+    (dictionary-encoded codes map to slots through a numpy gather).
+
+    Counter updates commute with the per-sketch path bit-for-bit: the same
+    int64 additions land in the same (depth, bucket) cells, so partials are
+    byte-identical to the previous implementation (gated by the existing
+    partition-invariance equality tests).
+    """
+
+    __slots__ = ("cfg", "depth", "width", "a", "b", "string_items",
+                 "weighted", "_slot", "_keys", "_tables", "_totals")
+
+    def __init__(self, cfg: CMSConfig, *, string_items: bool = False,
+                 weighted: bool = False):
+        self.cfg = cfg
+        self.depth, self.width = cfg.depth, cfg.width
+        self.a, self.b = cfg.ab
+        self.string_items = string_items
+        self.weighted = weighted
+        self._slot: dict = {}
+        self._keys: list = []
+        self._tables = np.zeros((0, self.depth, self.width), dtype=np.int64)
+        self._totals = np.zeros(0, dtype=np.int64)
+
+    def _ensure_capacity(self, n: int) -> None:
+        cap = self._tables.shape[0]
+        if n <= cap:
+            return
+        new_cap = max(n, cap * 2, 16)
+        tables = np.zeros((new_cap, self.depth, self.width), dtype=np.int64)
+        tables[:cap] = self._tables
+        self._tables = tables
+        totals = np.zeros(new_cap, dtype=np.int64)
+        totals[:cap] = self._totals
+        self._totals = totals
+
+    def update(self, batch: pa.RecordBatch) -> None:
+        """Fold one Arrow batch (group, item[, weight]). Same weighted
+        protocol as ``sketch_agg._weighted_update`` 'native' mode: negative
+        weights rejected, zero-weight rows dropped."""
+        import pyarrow.compute as pc
+
+        if any(batch.column(i).null_count for i in range(batch.num_columns)):
+            keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
+            if self.weighted:
+                keep = pc.and_(keep, batch.column(2).is_valid())
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return
+        items = _items_from_array(batch.column(1), self.string_items)
+        if self.weighted:
+            wts = (batch.column(2).to_numpy(zero_copy_only=False)
+                   .astype(np.int64, copy=False))
+            if (wts < 0).any():
+                raise ValueError("negative weights are not allowed in sketch builds")
+            keep_w = wts > 0
+            if not keep_w.all():
+                items = items[keep_w]
+                wts = wts[keep_w]
+                batch = batch.filter(pa.array(keep_w))
+            if items.size == 0:
+                return
+        else:
+            wts = None
+
+        enc = pc.dictionary_encode(batch.column(0))
+        codes = (enc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64, copy=False))
+        uniq = enc.dictionary.to_pylist()
+        slot_of = self._slot
+        keys = self._keys
+        code_slot = np.empty(len(uniq), dtype=np.int64)
+        for i, g in enumerate(uniq):
+            s = slot_of.get(g)
+            if s is None:
+                s = len(keys)
+                slot_of[g] = s
+                keys.append(g)
+            code_slot[i] = s
+        self._ensure_capacity(len(keys))
+        slots = code_slot[codes]
+
+        h = affine_hash(items, self.a, self.b, self.width)  # (depth, n)
+        # flat scatter index: slot*(d*w) + j*w + h[j] for every (j, row)
+        base = slots * np.int64(self.depth * self.width)
+        idx = (base[None, :]
+               + (np.arange(self.depth, dtype=np.int64) * self.width)[:, None]
+               + h).ravel()
+        flat = self._tables.reshape(-1)
+        if wts is None:
+            np.add.at(flat, idx, 1)
+            np.add.at(self._totals, slots, 1)
+        else:
+            np.add.at(flat, idx,
+                      np.broadcast_to(wts, (self.depth, wts.size)).ravel())
+            np.add.at(self._totals, slots, wts)
+
+    def result_batch(self) -> pa.RecordBatch | None:
+        """One partial row per group seen: rows_seen == total for CMS
+        (both count logical occurrences consumed)."""
+        if not self._keys:
+            return None
+        n = len(self._keys)
+        blobs = []
+        for s in range(n):
+            sk = CountMinSketch(self.cfg.epsilon, self.cfg.delta, self.cfg.seed,
+                                table=self._tables[s], total=int(self._totals[s]))
+            blobs.append(sk.to_bytes())
+        totals = self._totals[:n].tolist()
+        return pa.RecordBatch.from_pydict(
+            {"group": self._keys, "rows_seen": totals,
+             "total": totals, "sketch": blobs},
+            schema=_GROUPED_PA,
+        )
+
+
 def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
                          string_items: bool = False,
                          weight_col: str | None = None):
@@ -244,51 +373,48 @@ def cms_grouped_partials(df, group_col: str, item_col: str, cfg: CMSConfig, *,
     proj = df.select(*cols)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from .sketch_agg import _weighted_update
-
         tune_allocator()
-        sketches: dict[str, CountMinSketch] = {}
-        counts: dict[str, int] = {}
+        acc = GroupedCMSFold(cfg, string_items=string_items,
+                             weighted=weight_col is not None)
         for batch in batches:
-            if any(batch.column(i).null_count for i in range(batch.num_columns)):
-                import pyarrow.compute as pc
-
-                keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
-                if weight_col:
-                    keep = pc.and_(keep, batch.column(2).is_valid())
-                batch = batch.filter(keep)
-            if batch.num_rows == 0:
-                continue
-            items = _items_from_array(batch.column(1), string_items)
-            w_all = (batch.column(2).to_numpy(zero_copy_only=False)
-                     .astype(np.int64, copy=False) if weight_col else None)
-            for g, seg, wseg in iter_group_segments(batch, items, w_all):
-                sk = sketches.get(g)
-                if sk is None:
-                    sk = cfg.new_sketch()
-                    sketches[g] = sk
-                    counts[g] = 0
-                counts[g] += _weighted_update(sk, seg, wseg)
-        if sketches:
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "group": list(sketches.keys()),
-                    "rows_seen": [counts[g] for g in sketches],
-                    "total": [sketches[g].total for g in sketches],
-                    "sketch": [sketches[g].to_bytes() for g in sketches],
-                },
-                schema=_GROUPED_PA,
-            )
+            acc.update(batch)
+        out = acc.result_batch()
+        if out is not None:
+            yield out
 
     return proj.mapInArrow(fold, GROUPED_PARTIAL_SCHEMA)
 
 
 def cms_grouped(df, group_col: str, item_col: str, cfg: CMSConfig, *,
-                string_items: bool = False, weight_col: str | None = None):
+                string_items: bool = False, weight_col: str | None = None,
+                pre_shuffle_salt: int | None = None,
+                n_partitions: int | None = None):
     """DataFrame[group, total, sketch]: one merged CMS per group value.
     ``weight_col`` feeds pre-aggregated (group, item, count) inputs through
-    the native weighted CMS update — same dispatch as the ungrouped rail."""
-    partials = cms_grouped_partials(df, group_col, item_col, cfg,
+    the native weighted CMS update — same dispatch as the ungrouped rail.
+
+    Partial volume is (#partitions-that-see-a-group x #groups x sketch
+    bytes). With FEW groups (lang: ~30) that is KBs and the default
+    no-pre-shuffle plan is optimal: zero raw-row movement, perfectly
+    skew-proof. With MANY groups spread over every scan partition (host:
+    10^4+), every partition emits a partial for every group and the
+    phase-2 shuffle becomes partitions x groups x 65KB — at that shape set
+    ``pre_shuffle_salt=s``: one raw-row shuffle on hash(group, salt%s)
+    first, so each group's rows land in at most s partitions, capping
+    partials at groups x s while still splitting a hot group over s tasks
+    (straggler bounded by hot_rows/s). The salt is a deterministic hash of
+    the item column, so re-runs and retries repartition identically.
+    Choice rule measured in BENCH/grouped_skew.json."""
+    src = df
+    if pre_shuffle_salt:
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(F.xxhash64(F.col(item_col), F.lit(int(cfg.seed))),
+                      F.lit(int(pre_shuffle_salt)))
+        keys = [F.col(group_col), salt]
+        src = (df.repartition(n_partitions, *keys) if n_partitions
+               else df.repartition(*keys))
+    partials = cms_grouped_partials(src, group_col, item_col, cfg,
                                     string_items=string_items,
                                     weight_col=weight_col)
     eps, delta = cfg.epsilon, cfg.delta

@@ -6,8 +6,12 @@ send a hot host's pages to one task; salting spreads every key over
 ``n_partitions`` uniformly while keeping the mapping deterministic in
 (seed). For the global sketch the partition key is irrelevant (merge is
 commutative), so salting costs nothing and bounds task skew; for grouped
-sketches the two-phase partial merge in agg.py already caps per-group
-shuffle at (#partitions x #groups) rows.
+sketches the two-phase partial merge in agg.py caps per-group shuffle at
+(#partitions x #groups) partial rows; when group cardinality is high
+enough that every partition sees every group, use
+``cms_grouped(pre_shuffle_salt=s)`` instead — one raw-row shuffle on
+hash(group, salt%s) caps partials at (#groups x s) while still splitting
+hot groups over s tasks (choice rule measured in BENCH/grouped_skew.json).
 """
 
 from __future__ import annotations

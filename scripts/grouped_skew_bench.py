@@ -38,6 +38,7 @@ N_ROWS = int(os.environ.get("SKEW_BENCH_ROWS", str(50_000_000)))
 N_HOSTS = 5_000
 HOT_SHARE = 0.2          # hottest host holds ~20% of all rows
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SALT = 8                 # salted plan: each group lands in <= SALT partitions
 EPS, DELTA, SEED = 0.001, 0.1, 12345
 
 
@@ -72,33 +73,30 @@ def skewed_df(spark):
 
 
 def _timed_partials(df):
-    """The library's two-phase grouped CMS build (phase 1 verbatim shape:
-    per-partition fold via iter_group_segments), instrumented to emit one
-    (task_sec, n_rows) row per kernel invocation (= per task)."""
+    """The library's two-phase grouped CMS build (phase 1 is the REAL
+    rail: operators.agg.GroupedCMSFold, vectorized ACROSS groups),
+    instrumented to emit one (task_sec, n_rows) row per kernel invocation
+    (= per task)."""
     from parallel_count_min_sketch_spark.config import CMSConfig
-    from parallel_count_min_sketch_spark.operators.agg import iter_group_segments
+    from parallel_count_min_sketch_spark.operators.agg import GroupedCMSFold
 
     cfg = CMSConfig(epsilon=EPS, delta=DELTA, seed=SEED)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.perf_counter()
-        sketches: dict = {}
+        acc = GroupedCMSFold(cfg)
         rows = 0
         for batch in batches:
-            vals = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-            rows += len(vals)
-            for g, seg, _w in iter_group_segments(batch, vals, None):
-                sk = sketches.get(g)
-                if sk is None:
-                    sk = cfg.new_sketch()
-                    sketches[g] = sk
-                sk.update_batch(seg)
-        blobs = [sk.to_bytes() for sk in sketches.values()]
+            rows += batch.num_rows
+            acc.update(batch)
+        out = acc.result_batch()
+        blob_bytes = (sum(len(b.as_py()) for b in out.column(3))
+                      if out is not None else 0)
         yield pa.RecordBatch.from_pydict(
             {"task_sec": [time.perf_counter() - t0],
              "n_rows": [rows],
-             "n_groups": [len(sketches)],
-             "blob_bytes": [sum(len(b) for b in blobs)]},
+             "n_groups": [out.num_rows if out is not None else 0],
+             "blob_bytes": [blob_bytes]},
             schema=pa.schema([("task_sec", pa.float64()), ("n_rows", pa.int64()),
                               ("n_groups", pa.int64()), ("blob_bytes", pa.int64())]))
 
@@ -129,6 +127,19 @@ def _timed_naive(df):
         build, "host STRING, task_sec DOUBLE, n_rows LONG, blob_bytes LONG")
 
 
+def _timed_salted(df):
+    """The library's salted grouped plan (cms_grouped(pre_shuffle_salt=s)):
+    ONE raw-row shuffle on hash(group, item-salt % s), then the same
+    vectorized fold — each group's rows land in at most s partitions, so
+    partial volume is groups x s (not partitions x groups) and the hot
+    group splits over s tasks."""
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64(F.col("item"), F.lit(SEED)), F.lit(SALT))
+    return _timed_partials(
+        df.repartition(CPUS * 2, F.col("host"), salt))
+
+
 def stats(rows, key="task_sec"):
     xs = sorted(r[key] for r in rows)
     n = len(xs)
@@ -151,6 +162,7 @@ def main() -> None:
 
     results = {}
     for name, fn in (("two_phase_partials", _timed_partials),
+                     ("salted_two_phase", _timed_salted),
                      ("naive_groupby_applyinpandas", _timed_naive)):
         runs = []
         per_task = None
@@ -164,6 +176,11 @@ def main() -> None:
             "wall_median_sec": sorted(runs)[1],
             **stats(per_task),
         }
+        if "blob_bytes" in per_task[0]:
+            results[name]["partial_blob_mb"] = round(
+                sum(r["blob_bytes"] for r in per_task) / 1e6, 1)
+        if name == "salted_two_phase":
+            results[name]["salt"] = SALT
         if name == "naive_groupby_applyinpandas":
             hot_task = max(per_task, key=lambda r: r["n_rows"])
             results[name]["hot_group_rows"] = int(hot_task["n_rows"])
@@ -178,11 +195,17 @@ def main() -> None:
         "hot_share": round(hot / n, 4),
         "cpus": CPUS,
         "plans": results,
-        "note": ("two-phase partials: every task folds ~rows/partitions "
-                 "regardless of key skew (max/median ~1); naive groupBy: "
-                 "the hot group is ONE task doing hot_share of all update "
-                 "work after a full-corpus shuffle — its task time is the "
-                 "job's floor at any cluster size"),
+        "note": ("plan choice is about PARTIAL VOLUME vs STRAGGLER FLOOR. "
+                 "two_phase (no pre-shuffle): zero raw-row movement and "
+                 "max/median ~1, but partials = partitions x groups-seen — "
+                 "right when groups are few (lang) or sparse per partition. "
+                 "salted_two_phase: one raw-row shuffle on hash(group, "
+                 "salt%s), partials capped at groups x s, hot group split "
+                 "over s tasks — right at high group cardinality where "
+                 "every partition sees every group. naive groupBy-"
+                 "applyInPandas: the hot group is ONE task doing hot_share "
+                 "of all update work — its task time is the job's floor at "
+                 "ANY cluster size, so it cannot scale out."),
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/grouped_skew.json", "w") as f:

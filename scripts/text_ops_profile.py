@@ -31,7 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DOCS = int(os.environ.get("TEXT_PROFILE_DOCS", str(500_000)))
 REPS = int(os.environ.get("TEXT_PROFILE_REPS", "10"))
 LEVELS = [2, 8]
-OPS = ["doc_repetition", "tfidf_top_terms", "benchmark_contamination"]
+                   # (benchmark_contamination's level evidence lives in
+                   # text_ops_scale.json — its wall is staging-sensitive)
+OPS = os.environ.get("TEXT_PROFILE_OPS",
+                     "doc_repetition,tfidf_top_terms").split(",")
 STALL_FACTOR = 3.0
 
 

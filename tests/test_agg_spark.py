@@ -169,6 +169,25 @@ def test_grouped_sketches_skip_nulls(spark):
     assert out["en"]["total"] == 1 and out["de"]["total"] == 1
 
 
+def test_grouped_salted_pre_shuffle_byte_equal(spark):
+    """pre_shuffle_salt changes ONLY the physical row placement — the
+    merged per-group sketch must be byte-identical to the default plan
+    (merge is order/partitioning-invariant), and totals must match."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"h{rng.randrange(40)}", rng.randrange(1000)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "host STRING, item BIGINT").repartition(8)
+    cfg = CMSConfig(epsilon=0.01, delta=0.1, seed=5)
+    plain = {r["group"]: r for r in cms_grouped(df, "host", "item", cfg).collect()}
+    salted = {r["group"]: r for r in cms_grouped(
+        df, "host", "item", cfg, pre_shuffle_salt=4, n_partitions=16).collect()}
+    assert set(plain) == set(salted)
+    for g in plain:
+        assert plain[g]["total"] == salted[g]["total"]
+        assert bytes(plain[g]["sketch"]) == bytes(salted[g]["sketch"])
+
+
 def test_weighted_cms_path_rejects_negative_weights(spark):
     df = spark.createDataFrame([(1, 2), (2, -3)], "item BIGINT, cnt BIGINT")
     with pytest.raises(Exception, match="negative weights"):
