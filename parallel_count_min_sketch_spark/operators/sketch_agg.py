@@ -266,11 +266,143 @@ def _emit_grouped_partials(sketches: dict, counts: dict):
         )
 
 
+class GroupedHLLFold:
+    """Task-level grouped-HLL accumulator, vectorized ACROSS groups — the
+    max-merge twin of ``agg.GroupedCMSFold``. One stacked (slot, m)
+    register array for every group the task has seen; each Arrow batch
+    folds in a single ``np.maximum.at`` scatter, so cost is O(rows)
+    independent of group cardinality (the per-group-segment fold degrades
+    to tiny numpy calls once groups-per-batch is large). Register values
+    from the scatter are bit-identical to the per-sketch path: the same
+    max lands in the same (slot, bucket) cell.
+
+    Weighted inputs follow the 'invariant' protocol exactly
+    (``_weighted_update``): negative weights rejected, zero-weight rows
+    dropped (a count of 0 means the item never occurred), weights
+    otherwise ignored for register state but summed into rows_seen."""
+
+    __slots__ = ("proto", "m", "string_items", "weighted",
+                 "_slot", "_keys", "_regs", "_rows")
+
+    def __init__(self, precision: int, seed: int, *, string_items: bool = False,
+                 weighted: bool = False):
+        from ..sketches.hll import HyperLogLog
+
+        self.proto = HyperLogLog(precision, seed)
+        self.m = self.proto.m
+        self.string_items = string_items
+        self.weighted = weighted
+        self._slot: dict = {}
+        self._keys: list = []
+        self._regs = np.zeros((0, self.m), dtype=np.int64)
+        self._rows = np.zeros(0, dtype=np.int64)
+
+    def _ensure_capacity(self, n: int) -> None:
+        cap = self._regs.shape[0]
+        if n <= cap:
+            return
+        new_cap = max(n, cap * 2, 16)
+        regs = np.zeros((new_cap, self.m), dtype=np.int64)
+        regs[:cap] = self._regs
+        self._regs = regs
+        rows = np.zeros(new_cap, dtype=np.int64)
+        rows[:cap] = self._rows
+        self._rows = rows
+
+    def update(self, batch: pa.RecordBatch) -> None:
+        import pyarrow.compute as pc
+
+        if any(batch.column(i).null_count for i in range(batch.num_columns)):
+            keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
+            if self.weighted:
+                keep = pc.and_(keep, batch.column(2).is_valid())
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return
+        if self.weighted:
+            wts = (batch.column(2).to_numpy(zero_copy_only=False)
+                   .astype(np.int64, copy=False))
+            if (wts < 0).any():
+                raise ValueError("negative weights are not allowed in sketch builds")
+            keep_w = wts > 0
+            if not keep_w.all():
+                wts = wts[keep_w]
+                batch = batch.filter(pa.array(keep_w))
+            if batch.num_rows == 0:
+                return
+        else:
+            wts = None
+        vals_col = batch.column(1)
+        if self.string_items:
+            values = djb2_batch(vals_col)
+        else:
+            values = vals_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+        enc = pc.dictionary_encode(batch.column(0))
+        codes = (enc.indices.to_numpy(zero_copy_only=False)
+                 .astype(np.int64, copy=False))
+        uniq = enc.dictionary.to_pylist()
+        slot_of = self._slot
+        keys = self._keys
+        code_slot = np.empty(len(uniq), dtype=np.int64)
+        for i, g in enumerate(uniq):
+            s = slot_of.get(g)
+            if s is None:
+                s = len(keys)
+                slot_of[g] = s
+                keys.append(g)
+            code_slot[i] = s
+        self._ensure_capacity(len(keys))
+        slots = code_slot[codes]
+
+        bucket, rho = self.proto._bucket_rho(values)
+        np.maximum.at(self._regs.reshape(-1),
+                      slots * np.int64(self.m) + bucket, rho)
+        if wts is None:
+            np.add.at(self._rows, slots, 1)
+        else:
+            np.add.at(self._rows, slots, wts)
+
+    def result_batch(self) -> pa.RecordBatch | None:
+        if not self._keys:
+            return None
+        from ..sketches.hll import HyperLogLog
+
+        n = len(self._keys)
+        blobs = [HyperLogLog(self.proto.precision, self.proto.seed,
+                             registers=self._regs[s]).to_bytes()
+                 for s in range(n)]
+        return pa.RecordBatch.from_pydict(
+            {"group": self._keys, "rows_seen": self._rows[:n].tolist(),
+             "sketch": blobs},
+            schema=_GROUPED_PA,
+        )
+
+
 def sketch_grouped_partials(df, group_col: str, col: str, make_sketch: Callable, *,
                             string_items: bool = False, as_float: bool = False,
                             weight_col: str | None = None):
     cols = [group_col, col] + ([weight_col] if weight_col else [])
     proj = df.select(*cols)
+
+    sample = make_sketch()
+    from ..sketches.hll import HyperLogLog
+
+    if isinstance(sample, HyperLogLog) and not as_float:
+        precision, seed = sample.precision, sample.seed
+        weighted = weight_col is not None
+
+        def fold_hll(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            tune_allocator()
+            acc = GroupedHLLFold(precision, seed, string_items=string_items,
+                                 weighted=weighted)
+            for batch in batches:
+                acc.update(batch)
+            out = acc.result_batch()
+            if out is not None:
+                yield out
+
+        return proj.mapInArrow(fold_hll, GROUPED_SCHEMA)
 
     def fold(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc
@@ -333,11 +465,34 @@ def merge_grouped_partials(partials, from_bytes: Callable):
 
 def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
                    from_bytes: Callable, *, string_items: bool = False,
-                   as_float: bool = False, weight_col: str | None = None):
+                   as_float: bool = False, weight_col: str | None = None,
+                   pre_shuffle_salt: int | None = None,
+                   n_partitions: int | None = None,
+                   salt_seed: int = 0):
     """DataFrame[group, rows_seen, sketch]: one merged sketch per group.
     ``weight_col`` feeds pre-aggregated (group, item, count) inputs through
-    the per-kernel WEIGHTED dispatch (``_weighted_update``)."""
-    partials = sketch_grouped_partials(df, group_col, col, make_sketch,
+    the per-kernel WEIGHTED dispatch (``_weighted_update``).
+
+    ``pre_shuffle_salt=s``: one raw-row shuffle on hash(group, item-salt%s)
+    before phase 1 — use at HIGH group cardinality, where otherwise every
+    scan partition emits a partial for every group and phase-2 shuffle
+    volume is partitions x groups x blob bytes; salting caps it at
+    groups x s while splitting hot groups over s tasks (same trade-off as
+    ``agg.cms_grouped``, measured in BENCH/grouped_skew.json). CMS/HLL/
+    Bloom/KMV merge to identical state under any partitioning; KLL and
+    t-digest state depends on how rows were grouped into partials
+    (randomized compaction / centroid order), but their published error
+    bounds hold regardless — same caveat as any repartition."""
+    src = df
+    if pre_shuffle_salt:
+        from pyspark.sql import functions as F
+
+        salt = F.pmod(F.xxhash64(F.col(col), F.lit(int(salt_seed))),
+                      F.lit(int(pre_shuffle_salt)))
+        keys = [F.col(group_col), salt]
+        src = (df.repartition(n_partitions, *keys) if n_partitions
+               else df.repartition(*keys))
+    partials = sketch_grouped_partials(src, group_col, col, make_sketch,
                                        string_items=string_items,
                                        as_float=as_float, weight_col=weight_col)
     return merge_grouped_partials(partials, from_bytes)

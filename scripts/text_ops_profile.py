@@ -103,17 +103,40 @@ def child(cpus: int, event_dir: str) -> None:
     spark.stop()
 
 
+def _event_files(event_dir: str) -> list:
+    """Event-log files, flat (v1) or inside eventlog_v2_* rolling dirs
+    (Spark 4 writes a DIRECTORY per app when rolling logs are on)."""
+    out = []
+    for p in glob.glob(os.path.join(event_dir, "*")):
+        if os.path.isdir(p):
+            out.extend(f for f in glob.glob(os.path.join(p, "*"))
+                       if os.path.isfile(f)
+                       and not os.path.basename(f).startswith("appstatus"))
+        elif os.path.isfile(p):
+            out.append(p)
+    done = [f for f in out if not f.endswith(".inprogress")]
+    return done or out
+
+
 def parse_event_log(event_dir: str) -> dict:
-    """Sum task metrics per job-group op name from the (single) app log."""
-    files = [f for f in glob.glob(os.path.join(event_dir, "*"))
-             if not f.endswith(".inprogress")] or glob.glob(
-                 os.path.join(event_dir, "*"))
+    """Sum task metrics per job-group op name from the app log."""
+    files = _event_files(event_dir)
     agg: dict = {}
     job_group_of_job: dict = {}
     stages_of_job: dict = {}
     op_of_stage: dict = {}
     for fp in files:
-        with open(fp) as f:
+        if fp.endswith(".zstd") or fp.endswith(".lz4") or fp.endswith(".snappy"):
+            import io
+
+            import pyarrow as pa
+
+            codec = fp.rsplit(".", 1)[1]
+            raw = pa.input_stream(fp, compression=codec).read()
+            f = io.StringIO(raw.decode("utf-8", errors="replace"))
+        else:
+            f = open(fp)
+        with f:
             for line in f:
                 try:
                     ev = json.loads(line)

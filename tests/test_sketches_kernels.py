@@ -172,3 +172,55 @@ def test_tdigest_weighted():
     td = TDigest(100)
     td.update_batch([1.0, 2.0, 3.0], weights=[1.0, 1.0, 98.0])
     assert float(td.quantile([0.5])[0]) == pytest.approx(3.0, abs=0.5)
+
+
+def test_grouped_hll_fold_byte_equal_and_weighted_protocol():
+    """GroupedHLLFold (stacked-register scatter) must produce byte-identical
+    blobs to per-group HyperLogLog sketches, honor the 'invariant' weighted
+    protocol (zero-weight rows dropped, weights summed into rows_seen only),
+    and reject negative weights."""
+    import pyarrow as pa
+
+    from parallel_count_min_sketch_spark.operators.sketch_agg import GroupedHLLFold
+
+    rng = np.random.default_rng(3)
+    groups = [f"g{int(i)}" for i in rng.integers(0, 50, 20000)]
+    items = rng.integers(0, 10**12, 20000)
+    schema = pa.schema([("g", pa.string()), ("item", pa.int64())])
+    batch = pa.RecordBatch.from_pydict(
+        {"g": groups, "item": items.tolist()}, schema=schema)
+    acc = GroupedHLLFold(12, 7)
+    acc.update(batch.slice(0, 9000))  # two chunks: exercises slot growth
+    acc.update(batch.slice(9000))
+    out = acc.result_batch()
+    got = {out.column(0)[i].as_py(): (out.column(1)[i].as_py(),
+                                      out.column(2)[i].as_py())
+           for i in range(out.num_rows)}
+    for g in set(groups):
+        sel = np.array([it for gg, it in zip(groups, items) if gg == g],
+                       dtype=np.int64)
+        sk = HyperLogLog(12, 7)
+        sk.update_batch(sel)
+        assert got[g] == (len(sel), sk.to_bytes())
+
+    wschema = pa.schema([("g", pa.string()), ("item", pa.int64()),
+                         ("w", pa.int64())])
+    wb = pa.RecordBatch.from_pydict(
+        {"g": ["a", "a", "b", "b"], "item": [1, 2, 3, 4], "w": [2, 0, 5, 1]},
+        schema=wschema)
+    acc2 = GroupedHLLFold(12, 7, weighted=True)
+    acc2.update(wb)
+    o2 = acc2.result_batch()
+    rows = {o2.column(0)[i].as_py(): o2.column(1)[i].as_py()
+            for i in range(o2.num_rows)}
+    assert rows == {"a": 2, "b": 6}
+    ska = HyperLogLog(12, 7)
+    ska.update_batch(np.array([1]))  # item 2 dropped: weight 0
+    blobs = {o2.column(0)[i].as_py(): o2.column(2)[i].as_py()
+             for i in range(o2.num_rows)}
+    assert blobs["a"] == ska.to_bytes()
+
+    acc3 = GroupedHLLFold(12, 7, weighted=True)
+    with pytest.raises(ValueError, match="negative weights"):
+        acc3.update(pa.RecordBatch.from_pydict(
+            {"g": ["x"], "item": [1], "w": [-1]}, schema=wschema))
