@@ -324,11 +324,44 @@ def bench_reference_parity(spark, n_items: int) -> dict:
     }
 
 
+def bench_calibration(spark) -> dict:
+    """Fixed machine-speed probes, timed alongside every bench run so
+    cross-round per-query ratios can be read against same-round hardware
+    state (round 4->5 showed EVERY query inflate ~1.25x purely from
+    sandbox drift — BENCH/retime_ab_r4_vs_r5.json). Two probes:
+    ``numpy_sec`` (single-thread: fixed matmul+sort, pure CPU/memory
+    speed) and ``spark_sec`` (codegen sum of xxhash64 over range(200M):
+    JVM + whole-stage-codegen throughput at the session's parallelism).
+    Both are data-independent constants; median of 3."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((512, 512))
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            b = a @ a
+        np.sort(b, axis=None)
+        runs.append(time.perf_counter() - t0)
+    numpy_sec = sorted(runs)[1]
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, CPUS).selectExpr(
+            "bit_xor(xxhash64(id)) AS h").collect()  # sum() overflows ANSI int64
+        runs.append(time.perf_counter() - t0)
+    spark_sec = sorted(runs)[1]
+    return {"numpy_sec": round(numpy_sec, 4), "spark_sec": round(spark_sec, 4)}
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    calibration = bench_calibration(spark)
 
     corpus = ensure_corpus(spark, N_PAGES)
     build = bench_cms_build(spark, corpus)
@@ -376,6 +409,7 @@ def main() -> None:
         "docs_per_sec": build["docs_per_sec"],
         "tokens_per_sec": build["tokens_per_sec"],
         "reference_parity": parity,
+        "calibration": calibration,
     }
     detail_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(detail_dir, exist_ok=True)
@@ -395,6 +429,7 @@ def main() -> None:
         "cpus": CPUS,
         "docs_per_sec": build["docs_per_sec"],
         "tokens_per_sec": build["tokens_per_sec"],
+        "calibration": calibration,
         "parity": {
             "items_build_sec": parity["items_build_sec"],
             "items_per_sec": parity["items_per_sec"],
