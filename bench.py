@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "cms_accuracy_report",
     # training-data flagships (documents/embeddings tables at the same sf)
     "dedup_exact",
+    "dup_spans",
     "lsh_pairs",
     "lsh_bucket_stats",
     # (simhash_near_dups is gate-checked but not timed here: the synthetic

@@ -569,3 +569,85 @@ def dedup_keep_canonical(df: DataFrame, id_col: str, text: str = "text") -> Data
         )
         .select(*[hashed[c] for c in df.columns])
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-span detection (exact substring dedup signal)
+# --------------------------------------------------------------------------
+
+DUPSPAN_K = 8          # tokens per span (the unit of "substring")
+DUPSPAN_MIN_DOCS = 2   # a span in >= this many distinct docs is a duplicate
+
+
+def duplicate_span_stats(docs: DataFrame, *, id_col: str = "doc_id",
+                         text: str = "text", k: int = DUPSPAN_K,
+                         min_docs: int = DUPSPAN_MIN_DOCS) -> DataFrame:
+    """Per-document duplicated-span statistics — the exact-substring-dedup
+    signal used by LLM training-data pipelines (count every K-token span
+    that also appears verbatim in >= ``min_docs`` OTHER-or-same distinct
+    documents; suffix-array substring dedup a la "Deduplicating Training
+    Data Makes Language Models Better" reduced to the fixed-K span case,
+    which is what map-reduce engines can do exactly).
+
+    Two corpus passes, both scale-safe:
+
+    1. span document frequency: doc-local positional K-shingles (codegen
+       ``transform``/``slice``, no Python), doc-local ``array_distinct``,
+       ONE shuffle of distinct (span, doc) pairs into a partial/final
+       count — the inverted-index shape. Spans seen in >= ``min_docs``
+       docs form the dup dictionary, keyed by ``xxhash64(span)`` with the
+       span strings kept per hash so a hash collision can never flip a
+       count (same exactness trick as benchmark_contamination).
+    2. per-doc scoring: re-shingle (positional, duplicates kept) and join
+       the dictionary on the int64 hash. The dictionary is the SMALL side
+       (duplicated spans are rare at web scale) — broadcast here; when it
+       outgrows a broadcast, swap in bloom_semi_join + shuffle join, the
+       corpus side still never shuffles.
+
+    Returns one row per input doc: ``(doc_id, n_spans, dup_spans,
+    has_dup)`` — docs shorter than K tokens keep ``n_spans = 0``.
+    Integer columns only, so the result is engine-exact (oracle replays
+    the same spans in SQL)."""
+    toks = F.expr(f"filter(split(coalesce({text}, ''), ' '), x -> x <> '')")
+    # Spark's sequence(1, 0) counts DOWN ([1, 0]) — guard short docs
+    spans = F.expr(
+        f"CASE WHEN size(_l) >= {k} THEN"
+        f" transform(sequence(1, size(_l) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(_l, i, {k})))"
+        f" ELSE CAST(array() AS array<string>) END")
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_l")) \
+               .select("_id", spans.alias("_sp"))
+    # explode_outer + null-drop: plain explode would inline the whole
+    # shingling expression into an InferFiltersFromGenerate size() filter
+    ex = (base.select("_id", F.explode_outer("_sp").alias("span"))
+              .filter(F.col("span").isNotNull()))
+
+    dic = (
+        ex.distinct()                       # doc-local dup positions count once
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= int(min_docs))
+        .groupBy(F.xxhash64("span").alias("_h"))
+        .agg(F.collect_list("span").alias("_dup_sp"))
+    )
+    hit = F.when(
+        F.array_contains(
+            F.coalesce("_dup_sp", F.expr("CAST(array() AS array<string>)")),
+            F.col("span")), 1).otherwise(0)
+    stats = (
+        ex.withColumn("_h", F.xxhash64("span"))
+        .join(F.broadcast(dic), "_h", "left")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_spans"),
+             F.sum(hit).alias("dup_spans"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            (F.coalesce("dup_spans", F.lit(0)) > 0).alias("has_dup"),
+        )
+    )

@@ -1644,7 +1644,51 @@ FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span statistics per document (the fixed-K reduction
+    of suffix-array substring dedup — see
+    ``operators.dedup.duplicate_span_stats`` for the two-pass plan shape
+    and its 100-TB story)."""
+    return dd.duplicate_span_stats(load(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
+def _sql_dup_spans() -> str:
+    k, t = dd.DUPSPAN_K, dd.DUPSPAN_MIN_DOCS
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(COALESCE(text, ''), ' '),
+                     x -> x <> '') AS l
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, GREATEST(len(l) - {k - 1}, 0)),
+           i -> array_to_string(l[i : i + {k - 1}], ' ')) AS sp
+  FROM tok),
+ex AS (SELECT doc_id, unnest(sp) AS span FROM s),
+dic AS (
+  SELECT span FROM (
+    SELECT span, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY span)
+  WHERE df >= {t}),
+st AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_spans,
+         SUM(CASE WHEN dic.span IS NOT NULL THEN 1 ELSE 0 END) AS dup_spans
+  FROM ex LEFT JOIN dic USING (span)
+  GROUP BY ex.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(st.dup_spans, 0) AS BIGINT) AS dup_spans,
+       COALESCE(st.dup_spans, 0) > 0 AS has_dup
+FROM documents d LEFT JOIN st USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 TEXTDATA_QUERIES = {
+    "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "table_profile": (q_table_profile, _sql_table_profile()),
     "hash_sample_docs": (q_hash_sample_docs, _sql_hash_sample()),

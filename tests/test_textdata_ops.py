@@ -668,3 +668,35 @@ def test_repetition_and_tfidf_edge_parity_with_oracle(spark, tmp_path):
     assert rep[2]["n_bigrams"] == 0 and rep[2]["top_bigram_ppm"] == 0
     assert rep[5]["n_tokens"] == 2           # empty tokens filtered
     assert rep[6]["top_bigram_tf"] == 2 and rep[6]["n_bigrams"] == 4
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """dup_spans edge semantics with k=3, min_docs=2: positional (repeated)
+    spans all count in dup_spans once the span clears the DISTINCT-doc
+    threshold; doc-internal repetition alone does NOT make a span a dup;
+    short/NULL/empty docs stay in the output with n_spans = 0."""
+    from parallel_count_min_sketch_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    rows = [
+        (1, "a b c d"),        # spans: 'a b c', 'b c d'
+        (2, "z a b c d"),      # shares both of doc 1's spans
+        (3, "q q q q q"),      # 'q q q' x3 positions but only ONE doc -> 0
+        (4, "x y"),            # < k tokens: zero spans
+        (5, None),             # NULL text: zero spans
+        (6, "a b c a b c"),    # 'a b c' at 2 positions (doc also in dic
+                               # via docs 1/2); 'b c a' / 'c a b' unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["doc_id"]: r for r in
+           duplicate_span_stats(df, k=3, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert (out[1]["n_spans"], out[1]["dup_spans"]) == (2, 2)
+    assert (out[2]["n_spans"], out[2]["dup_spans"]) == (3, 2)
+    assert (out[3]["n_spans"], out[3]["dup_spans"]) == (3, 0)
+    assert not out[3]["has_dup"]
+    assert (out[4]["n_spans"], out[4]["dup_spans"]) == (0, 0)
+    assert (out[5]["n_spans"], out[5]["dup_spans"]) == (0, 0)
+    assert (out[6]["n_spans"], out[6]["dup_spans"]) == (4, 2)
+    assert out[6]["has_dup"] and out[1]["has_dup"] and out[2]["has_dup"]
