@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "event_sessions",
     "cms_time_rollup",
+    "mg_time_rollup",
     "kmv_retention",
     # round-4 additions
     "table_profile",

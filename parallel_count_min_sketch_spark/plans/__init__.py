@@ -10,6 +10,7 @@ from __future__ import annotations
 # — they go FIRST so the driver's own record covers them this round.
 _NEVER_DRIVER_CHECKED = [
     "dup_spans",             # new in round 5
+    "mg_time_rollup",        # new in round 5
     "stream_rollup_parity",  # new in round 5
     "simhash",
     "simhash_near_dups",

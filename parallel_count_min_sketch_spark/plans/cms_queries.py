@@ -741,8 +741,88 @@ GROUP BY p.item ORDER BY p.item
 """
 
 
+MG_ROLLUP_PHI = 0.008  # windowed frequent-user threshold (fraction of N)
+
+
+def q_mg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed heavy hitters FROM THE ROLLUP STORE — the query a 100-TB
+    time-series store actually asks ("top users between Jan 8 and 21"):
+    one Misra-Gries summary per DAY of events.user_id on the grouped
+    rails, the range answered by merging only the covered KB-sized
+    summaries (mergeable-summaries guarantee: decrement bounds ADD across
+    merges, so any item with windowed count > offset_total survives),
+    then candidates recounted EXACTLY over the date-filtered rows.
+    Output = the exact frequent-user set at floor(phi * N_window) with
+    the per-user MG sandwich check (lower <= exact <= lower + offset,
+    TRUE by the summary invariant) — value-replayable by a plain
+    date-filtered GROUP BY oracle. A loud raise (never a silently
+    incomplete set) if the merged decrement bound cannot certify the
+    threshold. Day summaries build once; query cost scales with days
+    covered, not corpus size."""
+    from functools import partial
+
+    from ..operators.heavy_hitters import _mg_from_bytes
+    from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
+    from ..sketches.misra_gries import MisraGries
+
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    buckets = sketch_time_buckets(ev, "ts", "user_id",
+                                  partial(MisraGries, MG_K), _mg_from_bytes)
+    mg = sketch_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI,
+                             partial(MisraGries, MG_K), _mg_from_bytes)
+    n = int(mg.n_total)
+    thresh = int(MG_ROLLUP_PHI * n)
+    offset = int(mg.error_bound())
+    if n > 0 and offset >= max(thresh, 1):
+        raise ValueError(
+            f"merged Misra-Gries (k={MG_K}) cannot certify threshold "
+            f"{thresh} over [{ROLLUP_LO}, {ROLLUP_HI}] (decrement bound "
+            f"{offset}); increase k")
+    keep = (mg.counts + offset) >= thresh
+    cand = spark.createDataFrame(
+        [(int(i), int(c)) for i, c in zip(mg.items[keep], mg.counts[keep])],
+        "user_id LONG, mg_lower LONG",
+    )
+    win = ev.filter(
+        (F.col("ts").cast("date") >= F.lit(ROLLUP_LO).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(ROLLUP_HI).cast("date"))
+        & F.col("user_id").isNotNull()
+    )
+    exact = (
+        win.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id", "mg_lower")
+        .agg(F.count(F.lit(1)).alias("win_count"))
+        .filter(F.col("win_count") >= thresh)
+    )
+    return exact.select(
+        "user_id", "win_count",
+        ((F.col("win_count") >= F.col("mg_lower"))
+         & (F.col("win_count") <= F.col("mg_lower") + F.lit(offset)))
+        .alias("mg_bound_ok"),
+    ).orderBy(F.desc("win_count"), F.asc("user_id"))
+
+
+def _sql_mg_time_rollup() -> str:
+    in_range = (
+        f"CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}' "
+        "AND ts IS NOT NULL AND user_id IS NOT NULL"
+    )
+    return f"""
+WITH w AS (SELECT user_id FROM events WHERE {in_range}),
+n AS (SELECT COUNT(*) AS n FROM w),
+c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS win_count
+      FROM w GROUP BY user_id)
+SELECT c.user_id, c.win_count, TRUE AS mg_bound_ok
+FROM c, n
+WHERE c.win_count >= CAST(FLOOR(CAST({MG_ROLLUP_PHI!r} AS DOUBLE) * n.n)
+                          AS BIGINT)
+ORDER BY c.win_count DESC, c.user_id
+"""
+
+
 CMS_QUERIES = {
     "cms_time_rollup": (q_cms_time_rollup, _sql_cms_time_rollup()),
+    "mg_time_rollup": (q_mg_time_rollup, _sql_mg_time_rollup()),
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
     "mg_frequent_tokens": (q_mg_frequent_tokens, SQL_MG_FREQUENT_TOKENS),
     "mg_grouped_frequent": (q_mg_grouped_frequent, SQL_MG_GROUPED_FREQUENT),

@@ -239,3 +239,45 @@ def test_rollup_estimates_one_sided(spark, events):
     for u, e in zip(users, ests):
         assert e >= exact[int(u)]
         assert e - exact[int(u)] <= CFG.epsilon * sk.total
+
+
+def test_mg_rollup_range_frequent_set_exact_under_eviction(spark, events):
+    """Misra-Gries day-rollup with a DELIBERATELY small k (forces real
+    decrements in the day summaries and in the range merge): the merged
+    summary's kept set must still contain EVERY user whose windowed count
+    exceeds the merged decrement bound (the mergeable-summaries
+    guarantee), the bound must obey offset <= N/(k+1), and every kept
+    count must sandwich the exact count (lower <= exact <= lower+offset)."""
+    from functools import partial
+
+    from parallel_count_min_sketch_spark.operators.heavy_hitters import (
+        _mg_from_bytes,
+    )
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        sketch_rollup_range,
+        sketch_time_buckets,
+    )
+    from parallel_count_min_sketch_spark.sketches.misra_gries import MisraGries
+
+    k = 8  # far below the ~150 distinct users: decrements WILL happen
+    lo, hi = "2024-01-05", "2024-01-18"
+    buckets = sketch_time_buckets(events, "ts", "user_id",
+                                  partial(MisraGries, k), _mg_from_bytes)
+    mg = sketch_rollup_range(buckets, lo, hi,
+                             partial(MisraGries, k), _mg_from_bytes)
+    win = (events.filter(
+        (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(hi).cast("date"))
+        & F.col("user_id").isNotNull())
+        .groupBy("user_id").count().collect())
+    exact = {int(r["user_id"]): int(r["count"]) for r in win}
+    n = sum(exact.values())
+    assert mg.n_total == n
+    offset = mg.error_bound()
+    assert 0 < offset <= n // (k + 1)          # eviction really happened
+    kept = {int(i): int(c) for i, c in zip(mg.items, mg.counts)}
+    for u, c in exact.items():
+        if c > offset:                          # completeness guarantee
+            assert u in kept, (u, c, offset)
+    for u, lower in kept.items():               # sandwich bound
+        assert lower <= exact.get(u, 0) <= lower + offset
