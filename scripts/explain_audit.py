@@ -42,6 +42,7 @@ AUDITED = [
     ("table_profile", "data-quality profile: every metric one agg over one scan (expand for multi-distinct), stack() unpivot, no driver loops"),
     ("event_sessions", "sessionization: native session_window aggregation, one shuffle on user"),
     ("kmv_retention", "retention from the per-day KMV rollup: bounded grouped partials, broadcast adjacent-day pair join, executor-side combine — no corpus rescan per pair"),
+    ("dup_spans", "duplicate-span detection: two doc-local codegen shingling passes, one distinct-(span,doc) shuffle for the dictionary, dictionary BROADCAST back (corpus never shuffles), no inferred-filter kernel inlining"),
 ]
 
 

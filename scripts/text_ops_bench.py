@@ -61,6 +61,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    from parallel_count_min_sketch_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
     from parallel_count_min_sketch_spark.plans.textdata_queries import (
         benchmark_contamination_df,
         doc_repetition_df,
@@ -97,6 +100,10 @@ def main() -> None:
         ("tfidf_top_terms", lambda: force(tfidf_top_terms_df(docs))),
         ("benchmark_contamination",
          lambda: force(benchmark_contamination_df(docs))),
+        # dup_spans: ~1000 genuinely duplicated 8-token spans planted by
+        # the shared-suffix construction; the distinct-(span,doc) pass
+        # shuffles ~106M pairs — the operator's real cost at scale
+        ("dup_spans", lambda: force(duplicate_span_stats(docs))),
     ):
         best, walls = timed(fn, args.reps)
         out["ops"][name] = {
