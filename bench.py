@@ -371,16 +371,18 @@ def main() -> None:
 
     qs = entrymod.queries()
     # per-query medians are floats; the *_runs keys carry raw run lists.
-    # median-of-3 per query (run 1 doubles as warmup): this sandbox's
-    # bursty stalls make single-run query timings vary 2-3x — same
-    # methodology rationale as the build medians above.
+    # median-of-5 per query (run 1 doubles as warmup; 3 reps through r4 —
+    # the r4->r5 A/B showed consecutive identical runs swinging 1.5x, so
+    # two more samples buy real median stability): this sandbox's bursty
+    # stalls make single-run query timings vary 2-3x — same methodology
+    # rationale as the build medians above.
     timings: dict[str, float | list[float]] = {}
     for name in BENCH_QUERIES:
         fn = qs.get(name)
         if fn is None:
             continue
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             runs.append(round(time.perf_counter() - t0, 3))

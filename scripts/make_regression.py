@@ -47,6 +47,11 @@ NOTES = {
         "operators/dedup.py unchanged since r4)",
     "lsh_pairs": _AB + " (HEAD 1.589 vs r4 1.818)",
     "simhash": _AB + " (HEAD 1.311 vs r4 1.344)",
+    "text_quality": "same drift: 0.856 s in this round's earlier full run "
+        "(1.01x of r4) vs 0.982 in the final run; textstats source is "
+        "UNCHANGED since r4 (git diff f54f68c..HEAD is empty for "
+        "functions/textstats.py) — see BENCH/retime_ab_r4_vs_r5.json for "
+        "the round's drift evidence",
 }
 
 
