@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from ..config import CMSConfig
 from ..memtune import tune_allocator
+from ._grouped_fold import GroupedFoldBase, salted_pre_shuffle
 from ..sketches.cms import CountMinSketch
 from ..sketches.hashing import affine_hash, djb2_batch
 
@@ -237,7 +238,7 @@ def iter_group_segments(batch: pa.RecordBatch, values: np.ndarray,
                sorted_w[lo:hi] if sorted_w is not None else None)
 
 
-class GroupedCMSFold:
+class GroupedCMSFold(GroupedFoldBase):
     """Task-level grouped-CMS accumulator, vectorized ACROSS groups.
 
     The per-group-segment fold (dict of sketches + ``iter_group_segments``)
@@ -250,8 +251,9 @@ class GroupedCMSFold:
     ``np.add.at`` call: cost is O(depth * rows) independent of how many
     groups the rows land in. Memory equals the dict-of-sketches layout
     (one (depth, width) table per distinct group in the partition), grown
-    geometrically. Only UNIQUE group strings ever cross into Python
-    (dictionary-encoded codes map to slots through a numpy gather).
+    geometrically. Null filtering, the weighted protocol ('native': weights
+    add into counters) and the group->slot mapping live in the shared
+    ``_grouped_fold.GroupedFoldBase``.
 
     Counter updates commute with the per-sketch path bit-for-bit: the same
     int64 additions land in the same (depth, bucket) cells, so partials are
@@ -259,26 +261,22 @@ class GroupedCMSFold:
     partition-invariance equality tests).
     """
 
-    __slots__ = ("cfg", "depth", "width", "a", "b", "string_items",
-                 "weighted", "_slot", "_keys", "_tables", "_totals")
+    __slots__ = ("cfg", "depth", "width", "a", "b", "_tables", "_totals")
 
     def __init__(self, cfg: CMSConfig, *, string_items: bool = False,
                  weighted: bool = False):
+        super().__init__(string_items=string_items, weighted=weighted)
         self.cfg = cfg
         self.depth, self.width = cfg.depth, cfg.width
         self.a, self.b = cfg.ab
-        self.string_items = string_items
-        self.weighted = weighted
-        self._slot: dict = {}
-        self._keys: list = []
         self._tables = np.zeros((0, self.depth, self.width), dtype=np.int64)
         self._totals = np.zeros(0, dtype=np.int64)
 
-    def _ensure_capacity(self, n: int) -> None:
+    def _capacity(self) -> int:
+        return self._tables.shape[0]
+
+    def _grow(self, new_cap: int) -> None:
         cap = self._tables.shape[0]
-        if n <= cap:
-            return
-        new_cap = max(n, cap * 2, 16)
         tables = np.zeros((new_cap, self.depth, self.width), dtype=np.int64)
         tables[:cap] = self._tables
         self._tables = tables
@@ -286,52 +284,8 @@ class GroupedCMSFold:
         totals[:cap] = self._totals
         self._totals = totals
 
-    def update(self, batch: pa.RecordBatch) -> None:
-        """Fold one Arrow batch (group, item[, weight]). Same weighted
-        protocol as ``sketch_agg._weighted_update`` 'native' mode: negative
-        weights rejected, zero-weight rows dropped."""
-        import pyarrow.compute as pc
-
-        if any(batch.column(i).null_count for i in range(batch.num_columns)):
-            keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
-            if self.weighted:
-                keep = pc.and_(keep, batch.column(2).is_valid())
-            batch = batch.filter(keep)
-        if batch.num_rows == 0:
-            return
-        items = _items_from_array(batch.column(1), self.string_items)
-        if self.weighted:
-            wts = (batch.column(2).to_numpy(zero_copy_only=False)
-                   .astype(np.int64, copy=False))
-            if (wts < 0).any():
-                raise ValueError("negative weights are not allowed in sketch builds")
-            keep_w = wts > 0
-            if not keep_w.all():
-                items = items[keep_w]
-                wts = wts[keep_w]
-                batch = batch.filter(pa.array(keep_w))
-            if items.size == 0:
-                return
-        else:
-            wts = None
-
-        enc = pc.dictionary_encode(batch.column(0))
-        codes = (enc.indices.to_numpy(zero_copy_only=False)
-                 .astype(np.int64, copy=False))
-        uniq = enc.dictionary.to_pylist()
-        slot_of = self._slot
-        keys = self._keys
-        code_slot = np.empty(len(uniq), dtype=np.int64)
-        for i, g in enumerate(uniq):
-            s = slot_of.get(g)
-            if s is None:
-                s = len(keys)
-                slot_of[g] = s
-                keys.append(g)
-            code_slot[i] = s
-        self._ensure_capacity(len(keys))
-        slots = code_slot[codes]
-
+    def _scatter(self, slots: np.ndarray, items: np.ndarray,
+                 wts: np.ndarray | None) -> None:
         h = affine_hash(items, self.a, self.b, self.width)  # (depth, n)
         # flat scatter index: slot*(d*w) + j*w + h[j] for every (j, row)
         base = slots * np.int64(self.depth * self.width)
@@ -407,13 +361,8 @@ def cms_grouped(df, group_col: str, item_col: str, cfg: CMSConfig, *,
     Choice rule measured in BENCH/grouped_skew.json."""
     src = df
     if pre_shuffle_salt:
-        from pyspark.sql import functions as F
-
-        salt = F.pmod(F.xxhash64(F.col(item_col), F.lit(int(cfg.seed))),
-                      F.lit(int(pre_shuffle_salt)))
-        keys = [F.col(group_col), salt]
-        src = (df.repartition(n_partitions, *keys) if n_partitions
-               else df.repartition(*keys))
+        src = salted_pre_shuffle(df, group_col, item_col, pre_shuffle_salt,
+                                 n_partitions, cfg.seed)
     partials = cms_grouped_partials(src, group_col, item_col, cfg,
                                     string_items=string_items,
                                     weight_col=weight_col)

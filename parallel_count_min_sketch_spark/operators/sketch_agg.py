@@ -20,6 +20,7 @@ import pyarrow as pa
 
 from ..memtune import tune_allocator
 from ..sketches.hashing import djb2_batch
+from ._grouped_fold import GroupedFoldBase, salted_pre_shuffle
 
 PARTIAL_SCHEMA = "partition_id INT, rows_seen LONG, sketch BINARY"
 _PARTIAL_PA = pa.schema(
@@ -266,7 +267,7 @@ def _emit_grouped_partials(sketches: dict, counts: dict):
         )
 
 
-class GroupedHLLFold:
+class GroupedHLLFold(GroupedFoldBase):
     """Task-level grouped-HLL accumulator, vectorized ACROSS groups — the
     max-merge twin of ``agg.GroupedCMSFold``. One stacked (slot, m)
     register array for every group the task has seen; each Arrow batch
@@ -276,32 +277,27 @@ class GroupedHLLFold:
     from the scatter are bit-identical to the per-sketch path: the same
     max lands in the same (slot, bucket) cell.
 
-    Weighted inputs follow the 'invariant' protocol exactly
-    (``_weighted_update``): negative weights rejected, zero-weight rows
-    dropped (a count of 0 means the item never occurred), weights
-    otherwise ignored for register state but summed into rows_seen."""
+    Null filtering, the weighted protocol ('invariant': weights ignored
+    for register state, summed into rows_seen) and the group->slot
+    mapping live in the shared ``_grouped_fold.GroupedFoldBase``."""
 
-    __slots__ = ("proto", "m", "string_items", "weighted",
-                 "_slot", "_keys", "_regs", "_rows")
+    __slots__ = ("proto", "m", "_regs", "_rows")
 
     def __init__(self, precision: int, seed: int, *, string_items: bool = False,
                  weighted: bool = False):
         from ..sketches.hll import HyperLogLog
 
+        super().__init__(string_items=string_items, weighted=weighted)
         self.proto = HyperLogLog(precision, seed)
         self.m = self.proto.m
-        self.string_items = string_items
-        self.weighted = weighted
-        self._slot: dict = {}
-        self._keys: list = []
         self._regs = np.zeros((0, self.m), dtype=np.int64)
         self._rows = np.zeros(0, dtype=np.int64)
 
-    def _ensure_capacity(self, n: int) -> None:
+    def _capacity(self) -> int:
+        return self._regs.shape[0]
+
+    def _grow(self, new_cap: int) -> None:
         cap = self._regs.shape[0]
-        if n <= cap:
-            return
-        new_cap = max(n, cap * 2, 16)
         regs = np.zeros((new_cap, self.m), dtype=np.int64)
         regs[:cap] = self._regs
         self._regs = regs
@@ -309,59 +305,12 @@ class GroupedHLLFold:
         rows[:cap] = self._rows
         self._rows = rows
 
-    def update(self, batch: pa.RecordBatch) -> None:
-        import pyarrow.compute as pc
-
-        if any(batch.column(i).null_count for i in range(batch.num_columns)):
-            keep = pc.and_(batch.column(0).is_valid(), batch.column(1).is_valid())
-            if self.weighted:
-                keep = pc.and_(keep, batch.column(2).is_valid())
-            batch = batch.filter(keep)
-        if batch.num_rows == 0:
-            return
-        if self.weighted:
-            wts = (batch.column(2).to_numpy(zero_copy_only=False)
-                   .astype(np.int64, copy=False))
-            if (wts < 0).any():
-                raise ValueError("negative weights are not allowed in sketch builds")
-            keep_w = wts > 0
-            if not keep_w.all():
-                wts = wts[keep_w]
-                batch = batch.filter(pa.array(keep_w))
-            if batch.num_rows == 0:
-                return
-        else:
-            wts = None
-        vals_col = batch.column(1)
-        if self.string_items:
-            values = djb2_batch(vals_col)
-        else:
-            values = vals_col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-
-        enc = pc.dictionary_encode(batch.column(0))
-        codes = (enc.indices.to_numpy(zero_copy_only=False)
-                 .astype(np.int64, copy=False))
-        uniq = enc.dictionary.to_pylist()
-        slot_of = self._slot
-        keys = self._keys
-        code_slot = np.empty(len(uniq), dtype=np.int64)
-        for i, g in enumerate(uniq):
-            s = slot_of.get(g)
-            if s is None:
-                s = len(keys)
-                slot_of[g] = s
-                keys.append(g)
-            code_slot[i] = s
-        self._ensure_capacity(len(keys))
-        slots = code_slot[codes]
-
-        bucket, rho = self.proto._bucket_rho(values)
+    def _scatter(self, slots: np.ndarray, items: np.ndarray,
+                 wts: np.ndarray | None) -> None:
+        bucket, rho = self.proto._bucket_rho(items)
         np.maximum.at(self._regs.reshape(-1),
                       slots * np.int64(self.m) + bucket, rho)
-        if wts is None:
-            np.add.at(self._rows, slots, 1)
-        else:
-            np.add.at(self._rows, slots, wts)
+        np.add.at(self._rows, slots, 1 if wts is None else wts)
 
     def result_batch(self) -> pa.RecordBatch | None:
         if not self._keys:
@@ -485,13 +434,8 @@ def sketch_grouped(df, group_col: str, col: str, make_sketch: Callable,
     bounds hold regardless — same caveat as any repartition."""
     src = df
     if pre_shuffle_salt:
-        from pyspark.sql import functions as F
-
-        salt = F.pmod(F.xxhash64(F.col(col), F.lit(int(salt_seed))),
-                      F.lit(int(pre_shuffle_salt)))
-        keys = [F.col(group_col), salt]
-        src = (df.repartition(n_partitions, *keys) if n_partitions
-               else df.repartition(*keys))
+        src = salted_pre_shuffle(df, group_col, col, pre_shuffle_salt,
+                                 n_partitions, salt_seed)
     partials = sketch_grouped_partials(src, group_col, col, make_sketch,
                                        string_items=string_items,
                                        as_float=as_float, weight_col=weight_col)

@@ -751,13 +751,16 @@ KMV_SET_SEED = 43
 
 
 def _kmv_hash_sql(sk: KMVSketch, item_expr: str) -> str:
-    """62-bit KMV hash h1*p + h2 in BIGINT SQL (h1 < p ~ 2^31 keeps the
-    product < 2^62) — mirrors KMVSketch._hash exactly."""
-    from ..sketches.hashing import MERSENNE_PRIME
+    """62-bit KMV hash h1(x mod p1)*p2 + h2(x mod p2) in BIGINT SQL
+    (h1 < p1 ~ 2^31 keeps the product < 2^62) — mirrors KMVSketch._hash
+    exactly, including the TWO-prime residue split (CRT hash space;
+    see sketches/kmv.py)."""
+    from ..sketches.kmv import KMV_SECOND_PRIME
 
     h1 = affine_sql(sk.a, sk.b, item_expr)
-    h2 = affine_sql(sk.a2, sk.b2, item_expr)
-    return f"({h1} * {MERSENNE_PRIME} + {h2})"
+    p2 = KMV_SECOND_PRIME
+    h2 = f"(({sk.a2} * (({item_expr}) % {p2}) + {sk.b2}) % {p2})"
+    return f"({h1} * {p2} + {h2})"
 
 
 def _mk_kmv():

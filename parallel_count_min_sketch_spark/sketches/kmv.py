@@ -9,16 +9,22 @@ overlap audits ("how many users/documents do splits A and B share?").
 
 Design contract matches the other kernels: state is a sorted int64 array
 of the k smallest DISTINCT values of a seeded hash into the ~62-bit
-space [0, p^2), p = 2^31-1: h(x) = h1(x)*p + h2(x) built from two
-independent affine draws. A single 31-bit affine hash would collapse the
-item space to ~2.1e9 values, so past ~10^7 true distincts birthday
-collisions bias every estimate low (standard KMV/theta sketches use a
-64-bit hash space for exactly this reason); the combined pair collides
-only when BOTH affines collide (~2^-62), pushing the ceiling far past
-any realistic cardinality, while every product stays < 2^62 — exact in
+space [0, p1*p2), p1 = 2^31-1 and p2 = 2^31-19 (distinct primes):
+h(x) = h1(x mod p1) * p2 + h2(x mod p2), each hi an independent affine
+over its own prime. A single 31-bit affine hash would collapse the item
+space to ~2.1e9 values, so past ~10^7 true distincts birthday collisions
+bias every estimate low (standard KMV/theta sketches use a 64-bit hash
+space for exactly this reason). The two residues MUST come from
+DIFFERENT primes: two affines of the SAME residue x mod p are fully
+correlated (each is a bijection of that one residue — they collide
+together, leaving the ceiling at ~2^31). With distinct primes the CRT
+gives x mod p1 and x mod p2 jointly determining x mod p1*p2, so two
+items collide only when they are congruent mod p1*p2 ~ 4.6e18 — at most
+three other preimages across the whole int64 domain (regression-tested:
+x and x + p1 hash apart). Every intermediate stays < 2^62 — exact in
 int64 and in the BIGINT SQL the DuckDB oracle replays literally as
 ``SELECT DISTINCT h ... ORDER BY h LIMIT k`` (estimator intermediates
-(k-1)*p^2 exceed int64, so the oracle folds them in HUGEINT and the
+(k-1)*p1*p2 exceed int64, so the oracle folds them in HUGEINT and the
 Python side in arbitrary-precision ints).
 
 Math (standard KMV / theta-sketch estimators, Beyer et al. 2007 /
@@ -44,8 +50,11 @@ import numpy as np
 
 from .hashing import MERSENNE_PRIME, affine_params, djb2_batch
 
-# hash space: pairs (h1, h2) of independent affines packed as h1*p + h2
-KMV_HASH_SPACE = MERSENNE_PRIME * MERSENNE_PRIME  # ~4.6e18 < 2^63
+# second hash prime (2^31 - 19): must differ from MERSENNE_PRIME so the
+# two residues are CRT-independent — see the module docstring
+KMV_SECOND_PRIME = 2_147_483_629
+# hash space: h1(x mod p1) * p2 + h2(x mod p2) ranges over [0, p1*p2)
+KMV_HASH_SPACE = MERSENNE_PRIME * KMV_SECOND_PRIME  # ~4.6e18 < 2^62
 
 _MAGIC = b"KMV1"
 _HEADER = struct.Struct("<4sIq")  # magic, k, seed
@@ -63,7 +72,10 @@ class KMVSketch:
         self.seed = int(seed)
         a, b = affine_params(seed, 2)
         self.a, self.b = int(a[0]), int(b[0])
-        self.a2, self.b2 = int(a[1]), int(b[1])
+        self.a2, self.b2 = int(a[1]) % KMV_SECOND_PRIME, \
+            int(b[1]) % KMV_SECOND_PRIME
+        if self.a2 == 0:  # a2 drawn in [1, p1): only a2 == p2 folds to 0
+            self.a2 = 1   # keep h2 a bijection of x mod p2
         if values is None:
             self.values = np.empty(0, dtype=np.int64)
         else:
@@ -77,11 +89,14 @@ class KMVSketch:
 
     # -- update ------------------------------------------------------------
     def _hash(self, items: np.ndarray) -> np.ndarray:
-        x = np.asarray(items, dtype=np.int64) % MERSENNE_PRIME
-        h1 = (self.a * x + self.b) % MERSENNE_PRIME
-        h2 = (self.a2 * x + self.b2) % MERSENNE_PRIME
-        # h1 < p ~ 2^31 so h1*p < 2^62: exact in int64 (and BIGINT SQL)
-        return h1 * MERSENNE_PRIME + h2
+        x = np.asarray(items, dtype=np.int64)
+        # residues from TWO distinct primes: jointly they determine
+        # x mod p1*p2 (CRT) — a single shared residue would leave the
+        # hash space at ~2^31 no matter how many affines consume it
+        h1 = (self.a * (x % MERSENNE_PRIME) + self.b) % MERSENNE_PRIME
+        h2 = (self.a2 * (x % KMV_SECOND_PRIME) + self.b2) % KMV_SECOND_PRIME
+        # h1 < p1 ~ 2^31 so h1*p2 < 2^62: exact in int64 (and BIGINT SQL)
+        return h1 * KMV_SECOND_PRIME + h2
 
     def update_batch(self, items) -> None:
         items = np.asarray(items, dtype=np.int64)

@@ -45,7 +45,11 @@ def _median(xs):
 
 
 def _clean(xs):
-    lo = min(x for x in xs if x >= 0.005)
+    # anchor on the smallest run above rounding resolution; if EVERY rep
+    # is sub-5ms (tiny TEXT_PROFILE_DOCS smoke runs) fall back to the raw
+    # min instead of min() over an empty generator
+    real = [x for x in xs if x >= 0.005]
+    lo = min(real) if real else min(xs)
     return [x for x in xs if x <= STALL_FACTOR * lo]
 
 

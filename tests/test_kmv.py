@@ -139,3 +139,33 @@ def test_grouped_pair_estimates_spark(spark):
         assert r["n_common"] == st["n_common"]
         assert r["n_union_below_theta"] == st["n_union_below_theta"]
         assert r["inter_floor"] == (st["n_common"] * p) // st["theta"]
+
+
+def test_hash_space_is_genuinely_wider_than_one_prime():
+    """Regression for the two-affines-of-one-residue trap: x and x + p1
+    share x mod p1, so any hash built ONLY from that residue collides —
+    the CRT construction must separate them via x mod p2 (and
+    symmetrically for x + p2 via x mod p1). Also pins the packed range
+    and the exact-regime count on a residue-colliding input set."""
+    from parallel_count_min_sketch_spark.sketches.hashing import MERSENNE_PRIME
+    from parallel_count_min_sketch_spark.sketches.kmv import (
+        KMV_HASH_SPACE,
+        KMV_SECOND_PRIME,
+    )
+
+    sk = KMVSketch(2048, seed=7)   # k > 600 keeps the sketch exact
+    base = np.arange(0, 200, dtype=np.int64) * 1_000_003
+    shifted_p1 = base + MERSENNE_PRIME      # collide mod p1 with base
+    shifted_p2 = base + KMV_SECOND_PRIME    # collide mod p2 with base
+    all_items = np.concatenate([base, shifted_p1, shifted_p2])
+    h = sk._hash(all_items)
+    assert len(np.unique(h)) == len(all_items)   # no cross-collisions
+    assert h.min() >= 0 and h.max() < KMV_HASH_SPACE
+    # the exact regime counts them as 600 distinct items
+    sk.update_batch(all_items)
+    n, theta, est = sk.estimate_portable()
+    assert (n, theta, est) == (600, KMV_HASH_SPACE, 600.0)
+    # and the documented residual ceiling: congruence mod p1*p2 DOES
+    # collide (the only remaining preimage class in int64)
+    pair = np.array([123, 123 + KMV_HASH_SPACE], dtype=np.int64)
+    assert len(np.unique(sk._hash(pair))) == 1
