@@ -110,3 +110,66 @@ def start_rollup_stream(stream_df: DataFrame, cfg: CMSConfig, ts_col: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def generic_rollup_sink(make_sketch, from_bytes, ts_col: str, item_col: str,
+                        store_path: str, *, string_items: bool = False,
+                        as_float: bool = False):
+    """Kernel-generic twin of :func:`rollup_sink`: maintain a per-day
+    rollup store for ANY update/merge/to_bytes kernel (per-day HLL =
+    stream-maintained COUNT DISTINCT per day; per-day MG = stream-
+    maintained windowed top-k candidates). Identical idempotency story —
+    each micro-batch overwrites its own (batch_id, bucket) partition
+    directories, so at-least-once replays converge instead of
+    double-counting. Merge-associativity is the whole contract: for
+    idempotent-merge kernels (HLL max, Bloom OR) the folded store is
+    byte-identical to a one-shot batch build (gated in
+    test_stream_rollup.py); for randomized-compaction kernels (KLL,
+    t-digest) the published error bounds hold but bytes depend on the
+    batch split — same caveat as any repartition."""
+    from ..operators.rollup import sketch_time_buckets
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        buckets = sketch_time_buckets(batch_df, ts_col, item_col,
+                                      make_sketch, from_bytes,
+                                      string_items=string_items,
+                                      as_float=as_float)
+        (
+            buckets.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "bucket")
+            .parquet(store_path)
+        )
+
+    return process
+
+
+def generic_rollup_range(spark, store_path: str, lo: str, hi: str,
+                         make_sketch, from_bytes):
+    """Answer a [lo, hi] range over a stream-maintained generic store:
+    fold every (batch, day) partial of the covered days by associativity
+    — no compaction required first."""
+    from ..operators.rollup import sketch_rollup_range
+
+    return sketch_rollup_range(read_stream_rollup(spark, store_path),
+                               lo, hi, make_sketch, from_bytes)
+
+
+def start_generic_rollup_stream(stream_df: DataFrame, make_sketch,
+                                from_bytes, ts_col: str, item_col: str,
+                                store_path: str, checkpoint_dir: str, *,
+                                string_items: bool = False,
+                                available_now: bool = True):
+    """Wire + start the kernel-generic maintainer (see
+    :func:`start_rollup_stream`)."""
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(generic_rollup_sink(make_sketch, from_bytes, ts_col,
+                                          item_col, store_path,
+                                          string_items=string_items))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

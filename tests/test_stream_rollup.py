@@ -101,3 +101,53 @@ def test_stream_rollup_replay_is_idempotent(spark, tmp_path, events):
     batch = cms_rollup_range(
         cms_time_buckets(events, "ts", "user_id", CFG), LO, HI, CFG)
     assert once.to_bytes() == batch.to_bytes()
+
+
+def test_generic_stream_rollup_hll_equals_batch(spark, tmp_path, events,
+                                                staged_events):
+    """Kernel-generic streaming maintainer: a stream-maintained per-day
+    HLL store, drained in multiple micro-batches, must fold to registers
+    BYTE-IDENTICAL to a one-shot batch rollup (HLL max-merge is
+    idempotent AND associative, so the batch split cannot matter) — and
+    therefore to a direct build over the date-filtered rows."""
+    from functools import partial
+
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        sketch_rollup_range,
+        sketch_time_buckets,
+    )
+    from parallel_count_min_sketch_spark.sketches.hll import HyperLogLog
+    from parallel_count_min_sketch_spark.streaming.stream_rollup import (
+        generic_rollup_range,
+        start_generic_rollup_stream,
+    )
+
+    mk = partial(HyperLogLog, 12, 7)
+    # package-level wrapper: a bound classmethod passed from a TEST module
+    # is cloudpickled by value and trips over struct.Struct constants
+    from parallel_count_min_sketch_spark.plans.sketch_queries import (
+        _hll_from_bytes as fb,
+    )
+    schema = spark.read.parquet(staged_events).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_events)
+    )
+    store = str(tmp_path / "hll_store")
+    q = start_generic_rollup_stream(stream, mk, fb, "ts", "user_id", store,
+                                    str(tmp_path / "hll_ckpt"))
+    assert q.awaitTermination(180), "stream did not drain within 180s"
+
+    merged = generic_rollup_range(spark, store, LO, HI, mk, fb)
+    batch = sketch_rollup_range(
+        sketch_time_buckets(events, "ts", "user_id", mk, fb), LO, HI, mk, fb)
+    assert merged.to_bytes() == batch.to_bytes()
+    direct = HyperLogLog(12, 7)
+    rows = (events.filter(
+        (F.col("ts").cast("date") >= F.lit(LO).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(HI).cast("date"))
+        & F.col("user_id").isNotNull())
+        .select("user_id").toPandas()["user_id"].to_numpy())
+    direct.update_batch(rows)
+    assert merged.to_bytes() == direct.to_bytes()
