@@ -97,15 +97,35 @@ def cms_rollup_range(buckets_df: DataFrame, lo: str, hi: str,
 def sketch_time_buckets(df: DataFrame, ts_col: str, item_col: str,
                         make_sketch: Callable, from_bytes: Callable, *,
                         string_items: bool = False,
-                        as_float: bool = False) -> DataFrame:
+                        as_float: bool = False,
+                        pre_aggregate: bool = False) -> DataFrame:
     """Kernel-generic time-bucket rollup on the grouped rails: one merged
     sketch per calendar day of ``ts_col`` for ANY kernel implementing the
     update_batch/merge/to_bytes protocol — per-day HLLs (distinct users
     per day), Blooms, KLLs ride the same two-phase shape as the CMS
-    rollup. Returns DataFrame[bucket, rows_seen, sketch]."""
-    out = sketch_grouped(_day_bucket(df, ts_col), "__bucket", item_col,
-                         make_sketch, from_bytes,
-                         string_items=string_items, as_float=as_float)
+    rollup. Returns DataFrame[bucket, rows_seen, sketch].
+
+    ``pre_aggregate=True`` collapses to (day, DISTINCT item, count)
+    JVM-side first (Catalyst partial/final agg with map-side combine) so
+    the Arrow channel moves one weighted row per distinct (day, item)
+    instead of one per occurrence — the generic sibling of
+    ``cms_time_buckets(pre_aggregate=True)``. State is identical through
+    each kernel's WEIGHTED protocol: bit-equal for 'invariant' kernels
+    (HLL/Bloom/KMV ignore counts) and 'native' ones (MG adds them);
+    'repeat' kernels (KLL/t-digest) see the same multiset but a different
+    arrival order, so bytes may differ while the published bounds hold —
+    the usual repartition caveat."""
+    bucketed = _day_bucket(df, ts_col)
+    if pre_aggregate:
+        pre = bucketed.groupBy("__bucket", item_col).agg(
+            F.count("*").alias("__w"))
+        out = sketch_grouped(pre, "__bucket", item_col, make_sketch,
+                             from_bytes, string_items=string_items,
+                             as_float=as_float, weight_col="__w")
+    else:
+        out = sketch_grouped(bucketed, "__bucket", item_col,
+                             make_sketch, from_bytes,
+                             string_items=string_items, as_float=as_float)
     return out.withColumnRenamed("group", "bucket")
 
 

@@ -766,8 +766,12 @@ def q_mg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sketches.misra_gries import MisraGries
 
     ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    # distinct-first: MG consumes (item, count) natively; the OUTPUT stays
+    # deterministic (exact recount above a certified threshold) even
+    # though summary bytes depend on arrival grouping
     buckets = sketch_time_buckets(ev, "ts", "user_id",
-                                  partial(MisraGries, MG_K), _mg_from_bytes)
+                                  partial(MisraGries, MG_K), _mg_from_bytes,
+                                  pre_aggregate=True)
     mg = sketch_rollup_range(buckets, ROLLUP_LO, ROLLUP_HI,
                              partial(MisraGries, MG_K), _mg_from_bytes)
     n = int(mg.n_total)

@@ -196,8 +196,12 @@ def q_hll_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
 
     ev = load(spark, sf_dir, "events")
+    # distinct-first (pre_aggregate): Catalyst collapses per-day repeats
+    # JVM-side; bit-identical for HLL's 'invariant' weighted protocol
+    # (test_generic_rollup_pre_aggregate_bit_identical_for_hll)
     buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_hll,
-                                  _hll_from_bytes).persist()
+                                  _hll_from_bytes,
+                                  pre_aggregate=True).persist()
     try:
         n_buckets = int(
             buckets.filter(
@@ -924,8 +928,9 @@ def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setops import kmv_pair_estimates
 
     ev = load(spark, sf_dir, "events")
+    # distinct-first: bit-identical for KMV ('invariant'), fewer Arrow rows
     buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_kmv_ret,
-                                  _kmv_from_bytes)
+                                  _kmv_from_bytes, pre_aggregate=True)
     grouped = (
         buckets.filter(
             (F.col("bucket") >= RET_LO) & (F.col("bucket") <= RET_HI)

@@ -281,3 +281,27 @@ def test_mg_rollup_range_frequent_set_exact_under_eviction(spark, events):
             assert u in kept, (u, c, offset)
     for u, lower in kept.items():               # sandwich bound
         assert lower <= exact.get(u, 0) <= lower + offset
+
+
+def test_generic_rollup_pre_aggregate_bit_identical_for_hll(spark, events):
+    """sketch_time_buckets(pre_aggregate=True) must produce byte-identical
+    per-day HLL blobs: distinct-first feeding the 'invariant' weighted
+    protocol sees the same item set per day."""
+    from functools import partial
+
+    from parallel_count_min_sketch_spark.operators.rollup import (
+        sketch_time_buckets,
+    )
+    from parallel_count_min_sketch_spark.plans.sketch_queries import (
+        _hll_from_bytes,
+    )
+    from parallel_count_min_sketch_spark.sketches.hll import HyperLogLog
+
+    mk = partial(HyperLogLog, 12, 7)
+    plain = {r["bucket"]: bytes(r["sketch"]) for r in
+             sketch_time_buckets(events, "ts", "user_id", mk,
+                                 _hll_from_bytes).collect()}
+    pre = {r["bucket"]: bytes(r["sketch"]) for r in
+           sketch_time_buckets(events, "ts", "user_id", mk, _hll_from_bytes,
+                               pre_aggregate=True).collect()}
+    assert plain == pre and len(plain) > 0
