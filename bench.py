@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "doc_repetition",
     "benchmark_contamination",
     "purchase_click_attribution",
+    # round-5 additions
+    "pii_redaction",
+    "quality_weighted_sample",
     # (dedup_components / near_dedup_kept_docs are gate-checked but not
     # timed here: on the template-heavy synthetic docs the SimHash pair
     # graph is ~2M genuine edges at sf0.1, so the timing measures pair

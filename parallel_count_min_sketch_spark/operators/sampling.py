@@ -93,3 +93,66 @@ def stratified_hash_sample(df: DataFrame, group_col: str, key_col: str,
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# weighted priority sampling: priority = floor(w * 2^31 / (h+1)) with
+# h uniform on [0, p). 2^31 < p = 2^31-1's ceiling keeps the quotient's
+# intermediate w * 2^31 exact in int64 for any weight below 2^32.
+_PRIORITY_SCALE = 1 << 31
+
+
+def weighted_priority_sample(df: DataFrame, key_col: str, weight_col: str,
+                             k: int, seed: int, *,
+                             payload_cols: list[str] | None = None) -> DataFrame:
+    """Deterministic weighted sample of k rows: priority sampling
+    (Duffield-Lund-Thorup, JACM 2007) with the randomness replaced by a
+    seeded affine hash so the SAME sample comes back on every run,
+    engine, and partitioning.
+
+    Priority q = floor(w * 2^31 / (h + 1)) where h = (a*key + b) mod p
+    is uniform on [0, p); h/p plays the role of DLT's uniform u, so
+    q ~ w/u and the top-k by q is a weighted-without-replacement sample
+    in which a row's inclusion probability grows ~proportionally to its
+    weight (exactly the PPS shape a quality-weighted training-data cut
+    wants). Ties broken by key — a total order, so a SQL oracle replays
+    the sample with the same integer arithmetic (BIGINT `DIV`).
+
+    Contract: rows with NULL key, NULL weight, or weight < 1 are
+    excluded (zero weight means never sampled; NULL has no defined
+    priority). Weights must stay below 2^32 so w * 2^31 is exact int64 —
+    enforced by construction at call sites (basis-point scores).
+
+    Scale shape: one projection + TakeOrderedAndProject — per-partition
+    top-k then a k-row merge on a single reducer; no corpus shuffle, no
+    global sort. Same plan family as q_hash_sample_docs.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a, b = affine_params(seed, 1)
+    h = F.expr(affine_sql(int(a[0]), int(b[0]), f"CAST({key_col} AS BIGINT)"))
+    cols = [key_col, weight_col] + [c for c in (payload_cols or [])
+                                    if c not in (key_col, weight_col)]
+    proj = (
+        df.select(*cols)
+        .filter(F.col(key_col).isNotNull()
+                & (F.col(weight_col).cast("bigint") >= 1))
+        .withColumn("_h", h)
+        .withColumn(
+            "priority",
+            F.expr(f"(CAST({weight_col} AS BIGINT) * {_PRIORITY_SCALE}) "
+                   f"DIV (_h + 1)"),
+        )
+        .drop("_h")
+    )
+    return proj.orderBy(F.col("priority").desc(), F.col(key_col)).limit(k)
+
+
+def weighted_priority_sample_sql(key_expr: str, weight_expr: str,
+                                 seed: int) -> str:
+    """DuckDB twin of the priority expression (`//` = exact BIGINT
+    division there, as `DIV` is in Spark) for ORDER BY ... LIMIT k
+    oracle replay."""
+    a, b = affine_params(seed, 1)
+    h = affine_sql(int(a[0]), int(b[0]), f"CAST({key_expr} AS BIGINT)")
+    return (f"(CAST({weight_expr} AS BIGINT) * {_PRIORITY_SCALE}) "
+            f"// (({h}) + 1)")

@@ -1041,6 +1041,128 @@ FROM r WHERE rn <= {STRAT_K} ORDER BY lang, sample_h
 """
 
 
+PII_DOC_CAP = 500  # bounded per-doc report rows (same cap as text_quality)
+
+
+def _pii_raw_col() -> F.Column:
+    """The synthetic corpus carries no contact strings, so PII is PLANTED
+    deterministically (same device as the planted duplicates above):
+    docs with doc_id % 7 == 0 gain an email, % 11 == 0 a phone number,
+    % 13 == 0 an IPv4 — overlaps allowed, every constant derived from
+    doc_id so the oracle replays the injection exactly."""
+    d = F.col("doc_id")
+    email = F.when(d % 7 == 0, F.concat(
+        F.lit(" reach user"), d.cast("string"), F.lit("@example.com now")))
+    phone = F.when(d % 11 == 0, F.concat(
+        F.lit(" call 555-"), F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad(((d * 3) % 10000).cast("string"), 4, "0")))
+    ip = F.when(d % 13 == 0, F.concat(
+        F.lit(" from 10."), (d % 256).cast("string"),
+        F.lit(".0."), ((d * 7) % 256).cast("string")))
+    return F.concat(F.col("text"), F.coalesce(email, F.lit("")),
+                    F.coalesce(phone, F.lit("")), F.coalesce(ip, F.lit("")))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub report: per-document email/phone/IPv4 match counts and
+    the length delta after typed-placeholder redaction
+    (functions/pii.py — regexp_count / chained regexp_replace, pure
+    codegen, patterns restricted to the Java-regex ∩ RE2 dialect).
+
+    Scale shape: one projected scan, zero shuffles — the filter and both
+    regex passes live in a single WholeStageCodegen project over the
+    pruned (doc_id, text) columns."""
+    from ..functions.pii import pii_counts, redact_pii
+
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < PII_DOC_CAP)
+            .select("doc_id", _pii_raw_col().alias("raw")))
+    counts = pii_counts("raw")
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+        F.length("raw").cast("bigint").alias("raw_len"),
+        F.length(redact_pii("raw")).cast("bigint").alias("clean_len"),
+    )  # no orderBy: the gate sorts rows; a global sort would be the
+    # plan's ONLY exchange (gated exchange-free in test_plan_quality)
+
+
+def _sql_pii_redaction() -> str:
+    from ..functions.pii import duck_pii_count, duck_redact_pii
+
+    raw = ("text || "
+           "COALESCE(CASE WHEN doc_id % 7 = 0 THEN ' reach user' || "
+           "CAST(doc_id AS VARCHAR) || '@example.com now' END, '') || "
+           "COALESCE(CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || "
+           "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || "
+           "lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') END, '') || "
+           "COALESCE(CASE WHEN doc_id % 13 = 0 THEN ' from 10.' || "
+           "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+           "CAST((doc_id * 7) % 256 AS VARCHAR) END, '')")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {raw} AS raw FROM documents WHERE doc_id < {PII_DOC_CAP}
+)
+SELECT doc_id,
+       {duck_pii_count('email', 'raw')} AS n_emails,
+       {duck_pii_count('phone', 'raw')} AS n_phones,
+       {duck_pii_count('ip', 'raw')} AS n_ips,
+       CAST(length(raw) AS BIGINT) AS raw_len,
+       CAST(length({duck_redact_pii('raw')}) AS BIGINT) AS clean_len
+FROM raw ORDER BY doc_id
+"""
+
+
+WEIGHTED_K = 100
+WEIGHTED_SEED = 1889
+
+
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted training-data cut: priority sampling
+    (operators/sampling.weighted_priority_sample) with weight
+    1 + quality_score_bp(text) — a doc's selection odds scale with its
+    quality score, the PPS selection a curation pipeline applies before
+    tokenization. Deterministic (seeded hash replaces the uniform draw),
+    so the same cut reproduces across runs and engines.
+
+    Scale shape: single projection (quality score is pure codegen) +
+    TakeOrderedAndProject — per-partition top-k, k-row merge; the corpus
+    is never shuffled."""
+    from ..operators.sampling import weighted_priority_sample
+
+    docs = load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", "lang",
+        (F.lit(1) + ts.quality_score_bp("text")).alias("quality_w"),
+    )
+    return weighted_priority_sample(
+        weighted, "doc_id", "quality_w", WEIGHTED_K, WEIGHTED_SEED,
+        payload_cols=["lang"],
+    ).orderBy(F.col("priority").desc(), "doc_id")
+
+
+def _sql_quality_weighted_sample() -> str:
+    from ..functions.textstats import duck_quality_score_bp
+    from ..operators.sampling import weighted_priority_sample_sql
+
+    w = f"(1 + {duck_quality_score_bp('text')})"
+    pr = weighted_priority_sample_sql("doc_id", "quality_w", WEIGHTED_SEED)
+    return f"""
+WITH weighted AS (
+  SELECT doc_id, lang, CAST({w} AS BIGINT) AS quality_w FROM documents
+  WHERE doc_id IS NOT NULL
+),
+pri AS (
+  SELECT doc_id, quality_w, lang, {pr} AS priority FROM weighted
+  WHERE quality_w >= 1
+)
+SELECT doc_id, quality_w, lang, priority FROM pri
+ORDER BY priority DESC, doc_id LIMIT {WEIGHTED_K}
+"""
+
+
 VOCAB_DF_FRAC = 0.2  # vocabulary cut: tokens present in >= 20% of docs
 
 
@@ -1688,6 +1810,9 @@ ORDER BY d.doc_id
 
 
 TEXTDATA_QUERIES = {
+    "pii_redaction": (q_pii_redaction, _sql_pii_redaction()),
+    "quality_weighted_sample": (q_quality_weighted_sample,
+                                _sql_quality_weighted_sample()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "table_profile": (q_table_profile, _sql_table_profile()),

@@ -320,3 +320,33 @@ def test_interval_join_plan_is_bucket_equi_join(spark, sf_dir):
     assert ("BroadcastHashJoin [user_id" in plan
             or "SortMergeJoin [user_id" in plan
             or "ShuffledHashJoin [user_id" in plan), plan
+
+
+def test_pii_redaction_is_single_scan_no_shuffle(spark, sf_dir):
+    """PII scrub is a pure map: the whole query (inject, count, redact)
+    must plan as one projected scan — zero Exchange nodes — with the
+    doc_id filter pushed to the parquet source and only (doc_id, text)
+    read."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_pii_redaction,
+    )
+
+    df = q_pii_redaction(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "text" in m.group(1) and "lang" not in m.group(1), plan
+    assert "PushedFilters: [" in plan and "LessThan(doc_id" in plan, plan
+
+
+def test_weighted_sample_plan_is_take_ordered_no_sort(spark, sf_dir):
+    """The quality-weighted cut must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge), never a global Sort+Exchange of
+    the corpus."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_quality_weighted_sample,
+    )
+
+    plan = _plan(q_quality_weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan

@@ -73,3 +73,69 @@ def test_null_group_is_kept(spark):
     # NULL is a group: both partitions return exactly k rows
     assert len(by_grp.get(None, [])) == 7
     assert len(by_grp.get("g", [])) == 7
+
+
+# --- weighted priority sampling ---------------------------------------
+
+
+def _weighted_df(spark, n=4000, parts=8):
+    # weight 1 for most keys, 1000 for every 100th — heavy keys should
+    # dominate the sample
+    return spark.createDataFrame(
+        [(i, 1000 if i % 100 == 0 else 1) for i in range(n)],
+        "doc_id LONG, w LONG").repartition(parts)
+
+
+def test_weighted_sample_python_replay(spark):
+    from parallel_count_min_sketch_spark.operators.sampling import (
+        _PRIORITY_SCALE, weighted_priority_sample)
+
+    df = _weighted_df(spark)
+    got = weighted_priority_sample(df, "doc_id", "w", 50, seed=21).collect()
+    a, b = affine_params(21, 1)
+    p = (1 << 31) - 1
+
+    def pri(i, w):
+        h = (int(a[0]) * (i % p) + int(b[0])) % p
+        return (w * _PRIORITY_SCALE) // (h + 1)
+
+    want = sorted(((pri(i, 1000 if i % 100 == 0 else 1), -i)
+                   for i in range(4000)), reverse=True)[:50]
+    assert [(r["priority"], -r["doc_id"]) for r in got] == want
+
+
+def test_weighted_sample_partition_invariant_and_biased(spark):
+    from parallel_count_min_sketch_spark.operators.sampling import (
+        weighted_priority_sample)
+
+    df = _weighted_df(spark)
+    one = weighted_priority_sample(df.repartition(1), "doc_id", "w", 40, 7)
+    many = weighted_priority_sample(df.repartition(17), "doc_id", "w", 40, 7)
+    ids_one = [r["doc_id"] for r in one.collect()]
+    assert ids_one == [r["doc_id"] for r in many.collect()]
+    # 40 heavy keys of 4000 (1%) carry 1000x weight -> they should own
+    # most of the sample (each heavy key outranks a light one unless the
+    # light key's hash is ~1000x smaller)
+    heavy = sum(1 for i in ids_one if i % 100 == 0)
+    assert heavy >= 30
+
+
+def test_weighted_sample_excludes_null_and_nonpositive(spark):
+    from parallel_count_min_sketch_spark.operators.sampling import (
+        weighted_priority_sample)
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (None, 9), (4, None), (5, 2)],
+        "doc_id LONG, w LONG")
+    rows = weighted_priority_sample(df, "doc_id", "w", 10, 3).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 5]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from parallel_count_min_sketch_spark.operators.sampling import (
+        weighted_priority_sample)
+
+    df = _weighted_df(spark)
+    plan = weighted_priority_sample(df, "doc_id", "w", 10, 3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -700,3 +700,50 @@ def test_duplicate_span_stats_semantics(spark):
     assert (out[5]["n_spans"], out[5]["dup_spans"]) == (0, 0)
     assert (out[6]["n_spans"], out[6]["dup_spans"]) == (4, 2)
     assert out[6]["has_dup"] and out[1]["has_dup"] and out[2]["has_dup"]
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII kernels on crafted rows: counts per kind, all-occurrence
+    replacement, fixed email->phone->ip order, and Spark/DuckDB twin
+    agreement on the same strings."""
+    from parallel_count_min_sketch_spark.functions.pii import (
+        duck_pii_count, duck_redact_pii, pii_counts, redact_pii)
+
+    rows = [
+        (1, "write to a.b+c@ex-ample.org or B@x.co today"),
+        (2, "call 555-123-4567 or 555-000-1111"),
+        (3, "host 10.0.0.1 then 192.168.255.3"),
+        (4, "mixed bob@site.io at 555-222-3333 via 8.8.8.8"),
+        (5, "none here: not-an-email@ nor 12-34 nor 1.2.3"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    c = pii_counts("text")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", c["email"].alias("e"), c["phone"].alias("p"),
+        c["ip"].alias("i"), redact_pii("text").alias("clean")).collect()}
+    assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (2, 0, 0)
+    assert (got[2]["e"], got[2]["p"], got[2]["i"]) == (0, 2, 0)
+    assert (got[3]["e"], got[3]["p"], got[3]["i"]) == (0, 0, 2)
+    assert (got[4]["e"], got[4]["p"], got[4]["i"]) == (1, 1, 1)
+    assert (got[5]["e"], got[5]["p"], got[5]["i"]) == (0, 0, 0)
+    assert got[4]["clean"] == "mixed <EMAIL> at <PHONE> via <IP>"
+    assert got[1]["clean"] == "write to <EMAIL> or <EMAIL> today"
+    assert got[6]["e"] is None and got[6]["clean"] is None
+    assert got[7]["clean"] == ""
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(i, s) for i, s in rows])
+    duck = {r[0]: r for r in con.execute(
+        f"SELECT doc_id, {duck_pii_count('email')}, "
+        f"{duck_pii_count('phone')}, {duck_pii_count('ip')}, "
+        f"{duck_redact_pii('text')} FROM t").fetchall()}
+    for i in (1, 2, 3, 4, 5, 7):
+        assert (duck[i][1], duck[i][2], duck[i][3]) == \
+            (got[i]["e"], got[i]["p"], got[i]["i"]), i
+        assert duck[i][4] == got[i]["clean"], i
