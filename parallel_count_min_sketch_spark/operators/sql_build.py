@@ -35,7 +35,8 @@ def with_item_id(df: DataFrame, col: str, *, string_items: bool = False,
 
 def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
                  weight_col: str | None = None, string_items: bool = False,
-                 pre_aggregate: bool | None = None) -> DataFrame:
+                 pre_aggregate: bool | None = None,
+                 row_strategy: str = "explode") -> DataFrame:
     """The sketch matrix as DataFrame[depth_row INT, bucket BIGINT, counter BIGINT].
 
     Omits zero counters (a dense matrix is reconstructed by zero-filling).
@@ -50,7 +51,25 @@ def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
     for integer items (bucket math is cheaper than a near-distinct shuffle).
     The resulting matrix is bit-identical either way: sum of per-occurrence
     weights == per-item weight totals.
+
+    ``row_strategy`` picks the physical shape of the per-occurrence build
+    (bit-identical output either way):
+
+    - ``"explode"`` (default): one scan; posexplode fans each row into
+      ``depth`` (depth_row, bucket) rows before ONE hash aggregate. Right
+      whenever the scan is the expensive part — a cold 100-TB parquet read
+      must happen exactly once.
+    - ``"rescan"``: ``depth`` independent single-bucket groupBys unioned
+      together — no generator, each aggregate hashes a bare BIGINT and its
+      hash table holds ``width`` (not depth*width) groups, but the source
+      is scanned ``depth`` times. ~2x faster when the input is cached
+      columnar in memory (measured 4.9s -> 2.5s on 500M cached items,
+      local[32]; BENCH/parity_1000m.json carries the 1e9 numbers), strictly
+      worse on a cold distributed scan. Use for iterative/in-memory builds
+      only.
     """
+    if row_strategy not in ("explode", "rescan"):
+        raise ValueError(f"row_strategy must be explode|rescan, got {row_strategy!r}")
     sel = df.select(item_col, *([weight_col] if weight_col else []))
     if pre_aggregate is None:
         pre_aggregate = string_items
@@ -61,6 +80,17 @@ def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
         weight_col = "__pcms_w"
     base = with_item_id(sel, item_col, string_items=string_items)
     w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    if row_strategy == "rescan":
+        parts = [
+            base.select(F.expr(sql).alias("bucket"), w.alias("weight"))
+            .groupBy("bucket").agg(F.sum("weight").alias("counter"))
+            .select(F.lit(j).cast("int").alias("depth_row"), "bucket", "counter")
+            for j, sql in enumerate(cfg.bucket_sql_all_rows("item_id"))
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
     buckets = F.array(*[F.expr(sql) for sql in cfg.bucket_sql_all_rows("item_id")])
     exploded = base.select(F.posexplode(buckets).alias("depth_row", "bucket"),
                            w.alias("weight"))
@@ -71,10 +101,12 @@ def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
 
 
 def collect_cms(df: DataFrame, item_col: str, cfg: CMSConfig, *,
-                weight_col: str | None = None, string_items: bool = False) -> CountMinSketch:
+                weight_col: str | None = None, string_items: bool = False,
+                row_strategy: str = "explode") -> CountMinSketch:
     """Materialize the JVM-built sketch into the numpy kernel object."""
     rows = cms_table_df(df, item_col, cfg, weight_col=weight_col,
-                        string_items=string_items).collect()
+                        string_items=string_items,
+                        row_strategy=row_strategy).collect()
     sk = cfg.new_sketch()
     for r in rows:
         sk.table[r["depth_row"], r["bucket"]] = r["counter"]

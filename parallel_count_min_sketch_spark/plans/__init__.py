@@ -9,6 +9,7 @@ from __future__ import annotations
 # round 4 (they were verified by the round-4 judge's own oracle run instead)
 # — they go FIRST so the driver's own record covers them this round.
 _NEVER_DRIVER_CHECKED = [
+    "cms_cu_accuracy",           # new in round 5
     "pii_redaction",             # new in round 5
     "quality_weighted_sample",   # new in round 5
     "dup_spans",             # new in round 5

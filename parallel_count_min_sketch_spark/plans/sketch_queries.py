@@ -1102,6 +1102,77 @@ FROM exact, med
 BSJ_THRESHOLD = 250  # purchase-value cut defining the small ("dim") side
 BSJ_EXPECTED = 10_000
 BSJ_FPP = 0.01
+def _mk_cu():
+    from ..sketches.cms_cu import ConservativeCMS
+    from .cms_queries import CFG
+
+    return ConservativeCMS(CFG.epsilon, CFG.delta, CFG.seed)
+
+
+def _cu_from_bytes(b):
+    from ..sketches.cms_cu import ConservativeCMS
+
+    return ConservativeCMS.from_bytes(b)
+
+
+def q_cms_cu_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative-update CMS (Estan & Varghese 2002; sketches/cms_cu.py)
+    built over the token stream on the generic partial/merge rails, gated
+    by the sandwich every distributed CU estimate must satisfy regardless
+    of partitioning:  exact <= cu_estimate <= plain_cms_estimate.
+
+    The CU table itself is partition-dependent (conservative update is a
+    sequential read-modify-write — the module docstring carries the merge
+    one-sidedness proof), so the oracle cannot replay counters; instead the
+    query verifies the sandwich DISTRIBUTED over every distinct token (the
+    tiny CU table is broadcast back via the same point_query_join used for
+    plain CMS — identical hash rows, directly comparable cells) and emits
+    only oracle-replayable aggregates plus the property booleans. The
+    measured overestimate reduction lives in BENCH/cu_improvement.json."""
+    from ..operators.sql_build import cms_table_df, point_query_join
+    from .cms_queries import CFG, _token_df
+
+    toks = _token_df(spark, sf_dir)
+    cu = build_sketch(toks, "tok", _mk_cu, _cu_from_bytes, string_items=True)
+    nz_j, nz_b = np.nonzero(cu.table)
+    cu_rows = [(int(j), int(b), int(cu.table[j, b])) for j, b in zip(nz_j, nz_b)]
+    cu_tbl = spark.createDataFrame(
+        cu_rows, "depth_row INT, bucket BIGINT, counter BIGINT")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    cms_est = point_query_join(
+        cms_table_df(toks, "tok", CFG, string_items=True),
+        exact.select("tok"), "tok", CFG, probes_are_strings=True,
+    ).withColumnRenamed("cms_estimate", "cms_est").withColumnRenamed("item", "tok")
+    cu_est = point_query_join(
+        cu_tbl, exact.select("tok"), "tok", CFG, probes_are_strings=True,
+    ).withColumnRenamed("cms_estimate", "cu_est").withColumnRenamed("item", "tok")
+    joined = exact.join(cms_est, "tok").join(cu_est, "tok")
+    n = F.count("*")
+    return joined.agg(
+        n.cast("bigint").alias("n_distinct"),
+        F.sum("exact_cnt").cast("bigint").alias("stream_n"),
+        (F.sum(F.when(F.col("cu_est") >= F.col("exact_cnt"), 1).otherwise(0)) == n)
+        .alias("all_cu_one_sided"),
+        (F.sum(F.when(F.col("cu_est") <= F.col("cms_est"), 1).otherwise(0)) == n)
+        .alias("all_cu_le_cms"),
+        (F.sum("exact_cnt") == F.lit(int(cu.total))).alias("cu_total_matches_stream"),
+    )
+
+
+def _cu_accuracy_sql() -> str:
+    from .cms_queries import _DUCK_TOKENS
+
+    return f"""
+WITH toks AS ({_DUCK_TOKENS})
+SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS stream_n,
+       TRUE AS all_cu_one_sided,
+       TRUE AS all_cu_le_cms,
+       TRUE AS cu_total_matches_stream
+FROM toks
+"""
+
+
 BSJ_SEED = 101
 
 
@@ -1192,6 +1263,7 @@ SKETCH_QUERIES = {
     "bloom_semijoin_stats": (q_bloom_semijoin_stats, _bloom_semijoin_sql()),
     "countsketch_estimates": (q_countsketch_estimates, _cs_estimates_sql()),
     "countsketch_f2": (q_countsketch_f2, _cs_f2_sql()),
+    "cms_cu_accuracy": (q_cms_cu_accuracy, _cu_accuracy_sql()),
     "kmv_distinct": (q_kmv_distinct, _kmv_sql()),
     "kmv_set_ops": (q_kmv_set_ops, _kmv_set_ops_sql()),
     "kmv_retention": (q_kmv_retention, _kmv_retention_sql()),

@@ -92,6 +92,37 @@ def test_pre_aggregate_plan_is_bit_identical(spark, items_df):
             == table(sdf, string_items=True, pre_aggregate=False))
 
 
+def test_rescan_strategy_is_bit_identical(spark, items_df):
+    """The rescan per-occurrence plan (depth unioned single-bucket groupBys,
+    no posexplode) must produce the same matrix as the explode plan — for
+    integer and string items, weighted and unweighted."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.operators.sql_build import cms_table_df
+
+    df, items = items_df
+
+    def table(d, **kw):
+        rows = cms_table_df(d, "item", CFG, **kw).collect()
+        return sorted((r["depth_row"], r["bucket"], r["counter"]) for r in rows)
+
+    assert table(df, row_strategy="rescan") == table(df, row_strategy="explode")
+
+    wdf = df.withColumn("w", (F.col("item") % 7 + 1).cast("bigint"))
+    assert (table(wdf, weight_col="w", row_strategy="rescan")
+            == table(wdf, weight_col="w", row_strategy="explode"))
+
+    sdf = df.select(F.concat(F.lit("tok"), F.col("item")).alias("item"))
+    assert (table(sdf, string_items=True, pre_aggregate=False,
+                  row_strategy="rescan")
+            == table(sdf, string_items=True, pre_aggregate=False,
+                     row_strategy="explode"))
+
+    with pytest.raises(ValueError):
+        cms_table_df(df, "item", CFG, row_strategy="bogus")
+
+
 def test_point_query_df_matches_kernel(spark, items_df):
     df, items = items_df
     exp = expected_sketch(items)
