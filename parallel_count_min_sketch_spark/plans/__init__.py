@@ -10,6 +10,8 @@ from __future__ import annotations
 # — they go FIRST so the driver's own record covers them this round.
 _NEVER_DRIVER_CHECKED = [
     "cms_cu_accuracy",           # new in round 5
+    "collocations_dice",         # new in round 5
+    "doc_familiarity",           # new in round 5
     "pii_redaction",             # new in round 5
     "quality_weighted_sample",   # new in round 5
     "dup_spans",             # new in round 5

