@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "cms_cu_accuracy",
     "collocations_dice",
     "doc_familiarity",
+    "trending_users",
     # (dedup_components / near_dedup_kept_docs are gate-checked but not
     # timed here: on the template-heavy synthetic docs the SimHash pair
     # graph is ~2M genuine edges at sf0.1, so the timing measures pair

@@ -12,6 +12,7 @@ _NEVER_DRIVER_CHECKED = [
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5
+    "trending_users",            # new in round 5
     "pii_redaction",             # new in round 5
     "quality_weighted_sample",   # new in round 5
     "dup_spans",             # new in round 5

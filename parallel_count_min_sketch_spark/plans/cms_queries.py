@@ -234,6 +234,77 @@ ORDER BY depth_row, bucket
 """
 
 
+TREND_HORIZON_DAYS = 20
+TREND_TOP = 20
+
+
+def q_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted (exponentially decayed) heavy hitters — the
+    "trending now" query a monitoring pipeline runs over the event stream.
+    Each event carries weight 2^(HORIZON - age_days) (integer bit-shift, so
+    the decayed CMS build and the DuckDB oracle agree bit-for-bit; events
+    older than HORIZON days contribute nothing), the weighted sketch is the
+    standard cms_update_int count argument (reference
+    src/core/count_min_sketch.c:5-11 — decay is just a weight), and the
+    top-K users are ranked by their decayed CMS estimate next to the exact
+    decayed mass.
+
+    Scale shape: one-row MAX(day) broadcast (never a driver round-trip),
+    weighted build shuffles at most depth*width rows per partition, probe
+    side reuses the broadcast point_query_join, final top-K is
+    TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("uid"),
+        F.to_date("ts").alias("day"))
+    ref = ev.agg(F.max("day").alias("ref_day"))
+    w = (
+        ev.crossJoin(F.broadcast(ref))
+        .withColumn("age", F.datediff("ref_day", "day"))
+        .filter(F.col("age") <= TREND_HORIZON_DAYS)
+        .select("uid", F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {TREND_HORIZON_DAYS} - age)"
+        ).alias("w_fp"))
+    )
+    table = cms_table_df(w, "uid", CFG, weight_col="w_fp")
+    exact = w.groupBy("uid").agg(F.sum("w_fp").alias("exact_decayed"))
+    from ..operators.sql_build import point_query_join
+
+    ests = point_query_join(table, exact.select("uid"), "uid", CFG) \
+        .withColumnRenamed("item", "uid") \
+        .withColumnRenamed("cms_estimate", "cms_decayed_estimate")
+    out = exact.join(ests, "uid") \
+        .select(F.col("uid").alias("user_id"), "exact_decayed",
+                "cms_decayed_estimate")
+    return out.orderBy(F.desc("cms_decayed_estimate"), F.asc("user_id")) \
+        .limit(TREND_TOP)
+
+
+SQL_TRENDING_USERS = f"""
+WITH ev AS (SELECT CAST(user_id AS BIGINT) AS uid, CAST(ts AS DATE) AS day
+            FROM events),
+ref AS (SELECT MAX(day) AS ref_day FROM ev),
+wts AS (SELECT uid,
+               (CAST(1 AS BIGINT) << ({TREND_HORIZON_DAYS}
+                 - datediff('day', day, ref_day))) AS w_fp
+        FROM ev, ref
+        WHERE datediff('day', day, ref_day) <= {TREND_HORIZON_DAYS}),
+ids AS (SELECT uid AS item_id, w_fp FROM wts),
+buckets AS ({_duck_buckets_cte('item_id', weight_sql='w_fp')}),
+exact AS (SELECT uid, CAST(SUM(w_fp) AS BIGINT) AS exact_decayed
+          FROM wts GROUP BY uid),
+probes AS (SELECT uid AS item, uid AS item_id FROM exact),
+probe_buckets AS ({_duck_probe_buckets()}),
+pts AS (
+  SELECT p.item, MIN(COALESCE(b.counter, 0)) AS est
+  FROM probe_buckets p LEFT JOIN buckets b USING (depth_row, bucket)
+  GROUP BY p.item)
+SELECT e.uid AS user_id, e.exact_decayed,
+       CAST(pts.est AS BIGINT) AS cms_decayed_estimate
+FROM exact e JOIN pts ON pts.item = e.uid
+ORDER BY cms_decayed_estimate DESC, user_id ASC LIMIT {TREND_TOP}
+"""
+
+
 def q_exact_oracle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's embedded exact oracles (items 123, 456, range
     [100,110]; src/mpi/mpiV2.c:131-140) as one exact aggregation."""
@@ -825,6 +896,7 @@ ORDER BY c.win_count DESC, c.user_id
 
 
 CMS_QUERIES = {
+    "trending_users": (q_trending_users, SQL_TRENDING_USERS),
     "cms_time_rollup": (q_cms_time_rollup, _sql_cms_time_rollup()),
     "mg_time_rollup": (q_mg_time_rollup, _sql_mg_time_rollup()),
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
