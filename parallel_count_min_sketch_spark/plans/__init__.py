@@ -13,6 +13,7 @@ _NEVER_DRIVER_CHECKED = [
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5
     "trending_users",            # new in round 5
+    "host_quality_profile",      # new in round 5
     "pii_redaction",             # new in round 5
     "quality_weighted_sample",   # new in round 5
     "dup_spans",             # new in round 5

@@ -77,6 +77,61 @@ FROM documents ORDER BY doc_id
 """
 
 
+SHORT_DOC_TOKENS = 50  # the "too short to train on" cut
+
+
+def q_host_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation statistics (the RefinedWeb/CCNet-style
+    per-host decision table: filter or keep a whole domain before
+    touching its documents): per source host — doc count, token mass,
+    mean quality / stopword-ratio in basis points (integer DIV, both
+    engines hash identically), and the share of too-short docs.
+
+    Scale shape: ONE map-side-combinable groupBy(source) over codegen
+    textstat expressions — the 100-TB side never shuffles rows, only the
+    per-partition (host, partial-aggregate) records; output is bounded by
+    the number of hosts."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        ts.n_tokens("text").alias("nt"),
+        ts.quality_score_bp("text").alias("q"),
+        ts.stopword_ratio_bp("text").alias("sw"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.expr("sum(q) div count(1)").alias("mean_quality_bp"),
+            F.expr("sum(sw) div count(1)").alias("mean_stopword_bp"),
+            F.expr(f"(sum(CASE WHEN nt < {SHORT_DOC_TOKENS} THEN 1 ELSE 0 END)"
+                   " * CAST(10000 AS BIGINT)) div count(1)")
+            .alias("short_share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_host_quality_profile() -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT source,
+         {ts.duck_n_tokens('text')} AS nt,
+         {ts.duck_quality_score_bp('text')} AS q,
+         {ts.duck_stopword_ratio_bp('text')} AS sw
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_quality_bp,
+       CAST(SUM(sw) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_stopword_bp,
+       (CAST(SUM(CASE WHEN nt < {SHORT_DOC_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         * CAST(10000 AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS short_share_bp
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", ts.lang_id_pred("text").alias("pred_lang")).orderBy("doc_id")
@@ -1951,6 +2006,8 @@ ORDER BY d.doc_id
 TEXTDATA_QUERIES = {
     "collocations_dice": (q_collocations_dice, _sql_collocations_dice()),
     "doc_familiarity": (q_doc_familiarity, _sql_doc_familiarity()),
+    "host_quality_profile": (q_host_quality_profile,
+                             _sql_host_quality_profile()),
     "pii_redaction": (q_pii_redaction, _sql_pii_redaction()),
     "quality_weighted_sample": (q_quality_weighted_sample,
                                 _sql_quality_weighted_sample()),
