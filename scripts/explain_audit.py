@@ -43,6 +43,10 @@ AUDITED = [
     ("event_sessions", "sessionization: native session_window aggregation, one shuffle on user"),
     ("kmv_retention", "retention from the per-day KMV rollup: bounded grouped partials, broadcast adjacent-day pair join, executor-side combine — no corpus rescan per pair"),
     ("dup_spans", "duplicate-span detection: two doc-local codegen shingling passes, one distinct-(span,doc) shuffle for the dictionary, dictionary BROADCAST back (corpus never shuffles), no inferred-filter kernel inlining"),
+    ("collocations_dice", "collocation mining: doc-local tf pairs (no corpus (doc,token) agg), map-side-combinable n-gram groupBys, candidate-side joins after the min-count cut, TakeOrderedAndProject top-K"),
+    ("doc_familiarity", "bigram familiarity: doc-local tf pairs, one co-partitioned (bg) join, bounded bottom-K via TakeOrderedAndProject — no inferred-filter kernel inlining"),
+    ("trending_users", "recency-weighted HH: one-row MAX(day) broadcast, weighted partial/final sketch agg, broadcast probe join, TakeOrderedAndProject top-K"),
+    ("host_quality_profile", "domain decision table: ONE map-side-combinable groupBy(source) over codegen textstats, no row shuffle"),
 ]
 
 
