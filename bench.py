@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "doc_familiarity",
     "trending_users",
     "host_quality_profile",
+    "incremental_dedup",
     # (dedup_components / near_dedup_kept_docs are gate-checked but not
     # timed here: on the template-heavy synthetic docs the SimHash pair
     # graph is ~2M genuine edges at sf0.1, so the timing measures pair

@@ -331,6 +331,130 @@ def lsh_bucket_stats(df: DataFrame, id_col: str, text: str = "text", *,
     )
 
 
+def write_lsh_index(df: DataFrame, id_col: str, path: str, text: str = "text",
+                    *, num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
+                    seed: int = MINHASH_SEED,
+                    max_bucket: int | None = None) -> None:
+    """Persist the corpus's LSH band index so NIGHTLY BATCHES can be
+    near-deduped against the corpus WITHOUT rescanning it — the
+    incremental regime every production crawl pipeline runs in (the
+    corpus is append-only and 100 TB; the nightly batch is small).
+
+    Writes two datasets under ``path``:
+
+    - ``bands``: (band, band_key, corpus_id) — one row per (doc, band),
+      the same band-key fold ``lsh_candidate_pairs`` joins on. Size is
+      docs x bands rows of three bigints, ~1000x smaller than the text.
+    - ``oversized``: the (band, band_key) pairs whose CORPUS bucket
+      exceeds ``max_bucket`` (empty when no cap). Precomputed here, at
+      index-build time, so incremental runs never re-aggregate the
+      corpus-scale band table to learn the degenerate keys — they
+      broadcast this tiny relation into an anti-join instead.
+
+    Appending a deduped batch to the index is the same ``lsh_band_rows``
+    write in append mode (oversized keys can be refreshed lazily — the
+    cap is a pair-explosion guard, not a correctness bound).
+    """
+    rows = lsh_band_rows(df, id_col, text, num_perms=num_perms,
+                         bands=bands, seed=seed) \
+        .withColumnRenamed("_id", "corpus_id")
+    rows.write.mode("overwrite").parquet(path + "/bands")
+    spark = df.sparkSession
+    bands_df = spark.read.parquet(path + "/bands")
+    sizes = (bands_df.groupBy("band", "band_key")
+             .agg(F.count("*").alias("_sz")))
+    cap = F.col("_sz") > max_bucket if max_bucket is not None else F.lit(False)
+    sizes.filter(cap).select("band", "band_key") \
+        .write.mode("overwrite").parquet(path + "/oversized")
+
+
+def incremental_lsh_matches(spark, new_df: DataFrame, id_col: str,
+                            index_path: str, text: str = "text", *,
+                            num_perms: int = DEFAULT_PERMS,
+                            bands: int = DEFAULT_BANDS,
+                            seed: int = MINHASH_SEED,
+                            broadcast_new: bool = True) -> DataFrame:
+    """Candidate near-dup matches of a NEW batch against a stored corpus
+    index: (new_id, corpus_id), distinct.
+
+    Scale shape — the whole point of the operator: the corpus-scale
+    ``bands`` index is the STREAMED side of a broadcast hash join (the
+    nightly batch's band rows are broadcast), so the index is read
+    map-only: no shuffle of corpus data, no corpus text rescan. Batch
+    band rows falling in a corpus-oversized bucket are dropped first via
+    a broadcast anti-join against the tiny precomputed ``oversized``
+    relation (same degenerate-clique guard as ``lsh_candidate_pairs``).
+    Set ``broadcast_new=False`` when the batch itself is too large to
+    broadcast — the join then shuffles both sides on (band, band_key),
+    still never rescanning corpus text.
+
+    Empty docs have NULL band keys on both sides and never equi-join.
+    """
+    idx = spark.read.parquet(index_path + "/bands")
+    oversized = spark.read.parquet(index_path + "/oversized")
+    new_bands = (
+        lsh_band_rows(new_df, id_col, text, num_perms=num_perms,
+                      bands=bands, seed=seed)
+        .withColumnRenamed("_id", "new_id")
+        .join(F.broadcast(oversized), ["band", "band_key"], "left_anti")
+    )
+    if broadcast_new:
+        new_bands = F.broadcast(new_bands)
+    return (
+        idx.join(new_bands, ["band", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def incremental_dedup_report(spark, new_df: DataFrame, id_col: str,
+                             index_path: str, text: str = "text", *,
+                             num_perms: int = DEFAULT_PERMS,
+                             bands: int = DEFAULT_BANDS,
+                             seed: int = MINHASH_SEED,
+                             max_bucket: int | None = None) -> DataFrame:
+    """Per-new-doc keep/drop decision for an incremental dedup pass:
+    (id, corpus_dup, batch_dup_of, keep).
+
+    - ``corpus_dup``: the doc LSH-collides with at least one indexed
+      corpus doc (via ``incremental_lsh_matches`` — index streamed,
+      batch broadcast).
+    - ``batch_dup_of``: the smallest EARLIER batch doc it collides with
+      (``lsh_candidate_pairs`` within the batch, same ``max_bucket``
+      cap), NULL if none — so exactly one member of each batch-internal
+      clique survives.
+    - ``keep`` = NOT corpus_dup AND batch_dup_of IS NULL: the rows to
+      append to the corpus (and whose band rows to append to the index).
+
+    Both flag relations are bounded by the batch size; the joins back
+    onto the batch are batch-scale, never corpus-scale.
+    """
+    matches = incremental_lsh_matches(
+        spark, new_df, id_col, index_path, text,
+        num_perms=num_perms, bands=bands, seed=seed)
+    corpus_flag = (matches.select("new_id").distinct()
+                   .withColumn("_corpus_dup", F.lit(True)))
+    batch_pairs = lsh_candidate_pairs(
+        new_df, id_col, text, num_perms=num_perms, bands=bands,
+        seed=seed, max_bucket=max_bucket)
+    earlier = batch_pairs.groupBy("id_b").agg(
+        F.min("id_a").alias("batch_dup_of"))
+    return (
+        new_df.select(id_col)
+        .join(corpus_flag, F.col(id_col) == F.col("new_id"), "left")
+        .drop("new_id")
+        .join(earlier, F.col(id_col) == F.col("id_b"), "left")
+        .drop("id_b")
+        .select(
+            id_col,
+            F.coalesce(F.col("_corpus_dup"), F.lit(False)).alias("corpus_dup"),
+            "batch_dup_of",
+            (F.col("_corpus_dup").isNull()
+             & F.col("batch_dup_of").isNull()).alias("keep"),
+        )
+    )
+
+
 def simhash(text: str = "text", *, bits: int = SIMHASH_BITS) -> Column:
     """SimHash fingerprint: bit i is the sign of sum over distinct tokens
     of +/-1 by bit i of the token id. Near-dup docs differ in few bits."""

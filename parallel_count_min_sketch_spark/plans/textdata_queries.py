@@ -453,6 +453,102 @@ FROM pairs ORDER BY id_a
 """
 
 
+def _duck_band_ctes(prefix: str, src: str) -> str:
+    """Parameterized band-key replay: ids -> 32 MinHash mins -> 4 folded
+    band keys for the docs in CTE ``src``, emitted as ``{prefix}_bands``
+    (doc_id, band, band_key). Shared by the incremental-dedup oracle's
+    corpus and batch sides (same constants as _duck_lsh_sizes_ctes)."""
+    a, b = affine_params(dd.MINHASH_SEED, dd.DEFAULT_PERMS)
+    rows_per_band = dd.DEFAULT_PERMS // dd.DEFAULT_BANDS
+    sig_cols = ", ".join(
+        f"list_min(list_transform(ids, x -> ({int(a[j])} * (x % {MERSENNE_PRIME}) + {int(b[j])}) % {MERSENNE_PRIME})) AS s{j}"
+        for j in range(dd.DEFAULT_PERMS)
+    )
+    band_keys = []
+    for i in range(dd.DEFAULT_BANDS):
+        expr = "CAST(0 AS BIGINT)"
+        for j in range(i * rows_per_band, (i + 1) * rows_per_band):
+            expr = f"(({expr}) * 1000003 + s{j}) % {MERSENNE_PRIME}"
+        band_keys.append(
+            f"SELECT doc_id, {i} AS band, {expr} AS band_key FROM {prefix}_sigs")
+    return f"""
+{prefix}_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM {src}),
+{prefix}_sigs AS (SELECT doc_id, {sig_cols} FROM {prefix}_ids),
+{prefix}_bands AS ({' UNION ALL '.join(band_keys)})"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup of a NIGHTLY BATCH against a PERSISTED
+    corpus LSH index (operators/dedup.py::write_lsh_index /
+    incremental_dedup_report) — the append-only regime a 100-TB crawl
+    pipeline actually runs in: the corpus is indexed ONCE (band rows,
+    ~1000x smaller than the text, plus the precomputed oversized-bucket
+    keys); each batch is then deduped by broadcasting ITS band rows into
+    a map-only scan of the index — no corpus text rescan, no shuffle of
+    corpus data, cost O(index) read + O(batch) compute.
+
+    Fixture split (deterministic): corpus = documents with doc_id % 7
+    <> 3; batch = the held-out % 7 = 3 docs (mostly novel) plus planted
+    byte-identical copies (doc_id + DUP_OFFSET) of corpus docs with
+    doc_id % 10 = 0 — so the report exercises corpus hits, batch-internal
+    cliques, and genuinely new docs at once. Output per batch doc:
+    corpus_dup, batch_dup_of (smallest earlier colliding batch doc),
+    keep. The oracle replays both sides' MinHash band keys, the corpus
+    bucket cap, and both joins value-for-value."""
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3).unionByName(
+        docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 7 != 3))
+        .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"))
+    tmp = tempfile.mkdtemp(prefix="pcms_lsh_index_")
+    try:
+        dd.write_lsh_index(corpus, "doc_id", tmp, max_bucket=LSH_MAX_BUCKET)
+        report = dd.incremental_dedup_report(
+            spark, batch, "doc_id", tmp, max_bucket=LSH_MAX_BUCKET)
+        # materialize executor-side before the index tempdir vanishes;
+        # bounded by the batch (not the corpus), so no driver collect
+        report = report.orderBy("doc_id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return report
+
+
+def _sql_incremental_dedup() -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3),
+{_duck_band_ctes('c', 'corpus')},
+{_duck_band_ctes('b', 'batch')},
+c_sizes AS (SELECT band, band_key, COUNT(*) AS sz FROM c_bands GROUP BY 1, 2),
+ok_c AS (SELECT cb.* FROM c_bands cb JOIN c_sizes s USING (band, band_key)
+         WHERE s.sz <= {LSH_MAX_BUCKET}),
+cm AS (SELECT DISTINCT bb.doc_id AS new_id
+       FROM b_bands bb JOIN ok_c c USING (band, band_key)),
+b_sizes AS (SELECT band, band_key, COUNT(*) AS sz FROM b_bands GROUP BY 1, 2),
+ok_b AS (SELECT bb.* FROM b_bands bb JOIN b_sizes s USING (band, band_key)
+         WHERE s.sz <= {LSH_MAX_BUCKET}),
+bp AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       FROM ok_b l JOIN ok_b r
+       ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+earlier AS (SELECT id_b AS doc_id, MIN(id_a) AS batch_dup_of FROM bp GROUP BY 1)
+SELECT b.doc_id,
+       (cm.new_id IS NOT NULL) AS corpus_dup,
+       e.batch_dup_of,
+       (cm.new_id IS NULL AND e.batch_dup_of IS NULL) AS keep
+FROM batch b
+LEFT JOIN cm ON cm.new_id = b.doc_id
+LEFT JOIN earlier e ON e.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search / events / binary
 # ---------------------------------------------------------------------------
@@ -2035,6 +2131,7 @@ TEXTDATA_QUERIES = {
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "near_dedup_kept_docs": (q_near_dedup_kept_docs,
                              _sql_near_dedup_kept_docs()),
+    "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
     "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),

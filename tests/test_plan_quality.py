@@ -369,3 +369,35 @@ def test_bigram_tf_kernel_not_inlined_into_filter(spark, pages_path):
         if "Filter" in line:
             assert "sort_array(" not in line, f"kernel inlined into Filter:\n{line[:400]}"
     assert "GenerateExec" in plan or "Generate explode" in plan or "explode" in plan
+
+
+def test_incremental_matches_streams_index_without_shuffle(spark, tmp_path):
+    """The corpus-scale bands index must be the STREAMED side of a
+    broadcast hash join (batch band rows broadcast): the only hash
+    exchange in the whole plan is the final pair distinct — no corpus
+    rescan, no shuffle of index rows."""
+    from parallel_count_min_sketch_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(60)],
+        "doc_id LONG, text STRING")
+    idx = str(tmp_path / "idx")
+    dd.write_lsh_index(df, "doc_id", idx, max_bucket=50)
+    batch = spark.createDataFrame(
+        [(500 + i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(5)],
+        "doc_id LONG, text STRING")
+    q = dd.incremental_lsh_matches(spark, batch, "doc_id", idx)
+    plan = _plan(q, execute=True).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the only hash exchanges are BATCH-scale (the batch minhash agg on
+    # _id and the final pair distinct) — index rows are never exchanged
+    hash_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln]
+    assert len(hash_ex) == 2, plan
+    assert all(("new_id" in ln) or ("_id" in ln) for ln in hash_ex), plan
+    # the bands scan feeds the join streamed-side: no Exchange between them
+    scan_at = plan.find("FileScan parquet [corpus_id")
+    join_at = plan.find("BroadcastHashJoin")
+    assert -1 < join_at < scan_at, plan
+    assert "Exchange" not in plan[join_at:scan_at], plan

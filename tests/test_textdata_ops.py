@@ -769,3 +769,91 @@ def test_bigram_tf_and_collocation_edges(spark):
     # hand check of the Dice fixed point over this corpus:
     # C(a b)=3, C(a)=4, C(b)=3 -> 2*3*SCALE div 7
     assert (2 * 3 * COLL_SCALE) // 7 == 857142
+
+
+# ------------------------ incremental dedup --------------------------------
+def _mk_corpus(rng, vocab, n, start=0):
+    docs = []
+    for i in range(n):
+        toks = rng.choice(vocab, size=50, replace=False)
+        docs.append((start + i, " ".join(toks)))
+    return docs
+
+
+def test_incremental_dedup_report_decisions(spark, tmp_path):
+    """Batch docs that copy indexed corpus docs are corpus_dup; novel docs
+    keep; a batch-internal clique keeps exactly its smallest member."""
+    rng = np.random.default_rng(7)
+    vocab = [f"v{i}" for i in range(5000)]
+    corpus = _mk_corpus(rng, vocab, 40)
+    novel = _mk_corpus(rng, vocab, 5, start=200)
+    batch = (
+        [(300 + i, corpus[i][1]) for i in range(3)]        # copies of corpus
+        + novel                                            # genuinely new
+        + [(400, novel[0][1]), (401, novel[0][1])]         # clique w/ 200
+    )
+    cdf = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    bdf = spark.createDataFrame(batch, "doc_id LONG, text STRING")
+    idx = str(tmp_path / "idx")
+    dd.write_lsh_index(cdf, "doc_id", idx, max_bucket=50)
+    rep = {r["doc_id"]: r for r in dd.incremental_dedup_report(
+        spark, bdf, "doc_id", idx, max_bucket=50).collect()}
+
+    assert len(rep) == len(batch)
+    for i in range(3):  # exact copies of indexed docs
+        assert rep[300 + i]["corpus_dup"] is True
+        assert rep[300 + i]["keep"] is False
+    for did in (201, 202, 203, 204):  # novel, no batch twin
+        assert rep[did]["corpus_dup"] is False
+        assert rep[did]["batch_dup_of"] is None
+        assert rep[did]["keep"] is True
+    # the 200/400/401 clique: 200 survives, later ids point at 200
+    assert rep[200]["keep"] is True and rep[200]["batch_dup_of"] is None
+    for did in (400, 401):
+        assert rep[did]["batch_dup_of"] == 200
+        assert rep[did]["keep"] is False
+
+
+def test_incremental_dedup_matches_full_lsh(spark, tmp_path):
+    """Index-join candidates == the cross-split subset of a full
+    lsh_candidate_pairs run over corpus ∪ batch (no cap): persisting the
+    band rows loses nothing."""
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(5000)]
+    corpus = _mk_corpus(rng, vocab, 30)
+    batch = _mk_corpus(rng, vocab, 10, start=500) + \
+        [(600 + i, corpus[i][1]) for i in range(4)]
+    cdf = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    bdf = spark.createDataFrame(batch, "doc_id LONG, text STRING")
+    idx = str(tmp_path / "idx")
+    dd.write_lsh_index(cdf, "doc_id", idx)
+    got = {(r["new_id"], r["corpus_id"]) for r in dd.incremental_lsh_matches(
+        spark, bdf, "doc_id", idx).collect()}
+
+    full = dd.lsh_candidate_pairs(
+        cdf.unionByName(bdf), "doc_id").collect()
+    corpus_ids = {d for d, _ in corpus}
+    batch_ids = {d for d, _ in batch}
+    want = {(b, c) for r in full
+            for c, b in [(r["id_a"], r["id_b"])]
+            if c in corpus_ids and b in batch_ids}
+    assert got == want and len(want) >= 4
+
+
+def test_incremental_dedup_oversized_corpus_bucket_dropped(spark, tmp_path):
+    """A degenerate corpus bucket (boilerplate clique > max_bucket) must be
+    excluded from the index join — its batch twin reports no corpus hit."""
+    rng = np.random.default_rng(13)
+    vocab = [f"v{i}" for i in range(5000)]
+    corpus = _mk_corpus(rng, vocab, 10) + \
+        [(1000 + i, "boiler plate empty page") for i in range(120)]
+    cdf = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    bdf = spark.createDataFrame(
+        [(5000, "boiler plate empty page"), (5001, corpus[0][1])],
+        "doc_id LONG, text STRING")
+    idx = str(tmp_path / "idx")
+    dd.write_lsh_index(cdf, "doc_id", idx, max_bucket=50)
+    rep = {r["doc_id"]: r for r in dd.incremental_dedup_report(
+        spark, bdf, "doc_id", idx, max_bucket=50).collect()}
+    assert rep[5000]["corpus_dup"] is False  # clique bucket was dropped
+    assert rep[5001]["corpus_dup"] is True   # normal bucket still matches
