@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "trending_users",
     "host_quality_profile",
     "incremental_dedup",
+    "url_canonicalize",
     # (dedup_components / near_dedup_kept_docs are gate-checked but not
     # timed here: on the template-heavy synthetic docs the SimHash pair
     # graph is ~2M genuine edges at sf0.1, so the timing measures pair

@@ -368,6 +368,23 @@ def write_lsh_index(df: DataFrame, id_col: str, path: str, text: str = "text",
         .write.mode("overwrite").parquet(path + "/oversized")
 
 
+def append_lsh_index(df: DataFrame, id_col: str, path: str, text: str = "text",
+                     *, num_perms: int = DEFAULT_PERMS,
+                     bands: int = DEFAULT_BANDS,
+                     seed: int = MINHASH_SEED) -> None:
+    """Append a (deduped) batch's band rows to an existing index — the
+    closing step of the nightly loop: report -> keep set -> corpus append
+    + this. Cost is O(batch). The ``oversized`` keys are NOT refreshed
+    here (the cap is a pair-explosion guard, not a correctness bound);
+    refresh them by re-running the write_lsh_index size aggregation over
+    ``bands`` — an index-scale, text-free job — on whatever cadence the
+    bucket-stats audit suggests."""
+    lsh_band_rows(df, id_col, text, num_perms=num_perms, bands=bands,
+                  seed=seed) \
+        .withColumnRenamed("_id", "corpus_id") \
+        .write.mode("append").parquet(path + "/bands")
+
+
 def incremental_lsh_matches(spark, new_df: DataFrame, id_col: str,
                             index_path: str, text: str = "text", *,
                             num_perms: int = DEFAULT_PERMS,

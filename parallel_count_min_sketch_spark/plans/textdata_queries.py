@@ -549,6 +549,49 @@ ORDER BY b.doc_id
 """
 
 
+# deterministic messy-URL synthesis shared by the Spark query and the
+# oracle: mixed-case scheme/host, explicit default port, tracking params,
+# unsorted params, fragments — every rule the canonicalizer must apply.
+# (CAST AS STRING: DuckDB accepts STRING as a VARCHAR alias, so the text
+# is valid in both engines verbatim.)
+_MESSY_URL_SQL = (
+    "'HTTPS://' || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)"
+    " || '.Example.com:443/docs/' || CAST(doc_id AS STRING) ||"
+    " (CASE WHEN doc_id % 3 = 0 THEN"
+    " '?utm_source=feed&id=' || CAST(doc_id % 50 AS STRING) || '&ref=tw'"
+    " WHEN doc_id % 3 = 1 THEN '?b=2&a=1&utm_campaign=x'"
+    " ELSE '' END) ||"
+    " (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END)"
+)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py::canonicalize_urls) — the
+    normalization pass before URL-level dedup: lowercase scheme/host,
+    strip default ports and fragments, drop tracking params, sort the
+    rest. Pure whole-stage-codegen string expressions per row: no
+    shuffle, no Python — the 100-TB cost is one map-only pass. Messy
+    URLs are synthesized deterministically from (doc_id, source) with
+    every rule exercised; the oracle replays rule-for-rule in DuckDB."""
+    from ..functions.urls import canonicalize_urls
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = docs.withColumn("url", F.expr(_MESSY_URL_SQL))
+    return canonicalize_urls(docs, "url").select(
+        "doc_id", "canon_url", "n_dropped_params", "had_fragment"
+    ).orderBy("doc_id")
+
+
+def _sql_url_canonicalize() -> str:
+    from ..functions.urls import canonical_steps_duckdb
+
+    return f"""
+WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)
+SELECT doc_id, {canonical_steps_duckdb('url')}
+FROM raw ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search / events / binary
 # ---------------------------------------------------------------------------
@@ -2132,6 +2175,7 @@ TEXTDATA_QUERIES = {
     "near_dedup_kept_docs": (q_near_dedup_kept_docs,
                              _sql_near_dedup_kept_docs()),
     "incremental_dedup": (q_incremental_dedup, _sql_incremental_dedup()),
+    "url_canonicalize": (q_url_canonicalize, _sql_url_canonicalize()),
     "embedding_knn": (q_embedding_knn, SQL_EMBEDDING_KNN),
     "ann_multiprobe": (q_ann_multiprobe, _sql_ann_multiprobe()),
     "embedding_near_dups": (q_embedding_near_dups, _sql_embedding_near_dups()),

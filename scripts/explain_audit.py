@@ -48,6 +48,7 @@ AUDITED = [
     ("trending_users", "recency-weighted HH: one-row MAX(day) broadcast, weighted partial/final sketch agg, broadcast probe join, TakeOrderedAndProject top-K"),
     ("host_quality_profile", "domain decision table: ONE map-side-combinable groupBy(source) over codegen textstats, no row shuffle"),
     ("incremental_dedup", "nightly-batch dedup vs persisted LSH index: batch band rows broadcast into a map-only index scan (index never shuffles), oversized corpus buckets pre-excluded via a broadcast anti-join, report joins bounded by the batch"),
+    ("url_canonicalize", "URL canonicalization: one map-only pass of whole-stage-codegen string expressions, no shuffle, no Python"),
 ]
 
 

@@ -857,3 +857,49 @@ def test_incremental_dedup_oversized_corpus_bucket_dropped(spark, tmp_path):
         spark, bdf, "doc_id", idx, max_bucket=50).collect()}
     assert rep[5000]["corpus_dup"] is False  # clique bucket was dropped
     assert rep[5001]["corpus_dup"] is True   # normal bucket still matches
+
+
+def test_append_lsh_index_extends_matches(spark, tmp_path):
+    """The nightly loop closes: batch-1 keepers appended to the index are
+    visible to batch 2 as corpus hits."""
+    rng = np.random.default_rng(17)
+    vocab = [f"v{i}" for i in range(5000)]
+    corpus = _mk_corpus(rng, vocab, 20)
+    b1 = _mk_corpus(rng, vocab, 4, start=100)
+    cdf = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+    idx = str(tmp_path / "idx")
+    dd.write_lsh_index(cdf, "doc_id", idx, max_bucket=50)
+    b1df = spark.createDataFrame(b1, "doc_id LONG, text STRING")
+    rep1 = dd.incremental_dedup_report(spark, b1df, "doc_id", idx,
+                                       max_bucket=50)
+    kept = b1df.join(rep1.filter("keep").select("doc_id"), "doc_id")
+    dd.append_lsh_index(kept, "doc_id", idx)
+
+    b2 = spark.createDataFrame([(200, b1[0][1]), (201, corpus[0][1])],
+                               "doc_id LONG, text STRING")
+    rep2 = {r["doc_id"]: r for r in dd.incremental_dedup_report(
+        spark, b2, "doc_id", idx, max_bucket=50).collect()}
+    assert rep2[200]["corpus_dup"] is True   # hit on appended batch-1 doc
+    assert rep2[201]["corpus_dup"] is True   # hit on original corpus doc
+
+
+def test_canonicalize_urls_hand_built(spark):
+    from parallel_count_min_sketch_spark.functions.urls import canonicalize_urls
+
+    cases = [
+        (1, "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&z=1&a=2#f",
+         "https://www.ex.com/A/b?a=2&z=1", 1, True),
+        (2, "http://ex.com:80/p", "http://ex.com/p", 0, False),
+        (3, "http://ex.com:8080/p?ref=r", "http://ex.com:8080/p", 1, False),
+        (4, "https://ex.com/", "https://ex.com/", 0, False),
+        (5, "https://ex.com/p?fbclid=1&gclid=2&utm_x=3",
+         "https://ex.com/p", 3, False),
+        (6, "https://ex.com/p?b=2&a=1&", "https://ex.com/p?a=1&b=2", 0, False),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, *_ in cases],
+                               "id INT, url STRING")
+    got = {r["id"]: r for r in canonicalize_urls(df, "url").collect()}
+    for i, _, canon, dropped, frag in cases:
+        assert got[i]["canon_url"] == canon, (i, got[i]["canon_url"])
+        assert got[i]["n_dropped_params"] == dropped, (i, got[i])
+        assert got[i]["had_fragment"] is frag
