@@ -9,6 +9,8 @@ from __future__ import annotations
 # round 4 (they were verified by the round-4 judge's own oracle run instead)
 # — they go FIRST so the driver's own record covers them this round.
 _NEVER_DRIVER_CHECKED = [
+    "incremental_dedup",         # new in round 5
+    "url_canonicalize",          # new in round 5
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5
