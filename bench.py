@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "text_quality",
     "image_stats",
+    "audio_stats",
     "kmv_distinct",
     "kmv_set_ops",
     "hash_sample_docs",

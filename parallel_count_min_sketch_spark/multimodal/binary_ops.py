@@ -5,12 +5,14 @@ The image path is REAL: dependency-free numpy codecs for BMP (24-bit
 uncompressed, bottom-up or top-down) AND binary PPM (P6, 8-bit maxval,
 comment-tolerant header) plus nearest-neighbor resize — ``decode_image``
 dispatches on magic bytes and decodes both natively, so mixed-format
-image columns exercise real per-row format dispatch. Formats whose
-codecs are genuinely absent from this container (PNG/JPEG/GIF/RIFF)
-raise ``NotImplementedError`` with the library a deployment would drop
-in; opaque non-image blobs route through ``byte_tensor``, a
-deterministic digest-derived featurizer (a real featurizer for arbitrary
-bytes — NOT a decode stand-in).
+image columns exercise real per-row format dispatch. The audio path is
+REAL too: ``encode_wav``/``decode_wav`` implement the RIFF/WAVE PCM16
+container with proper chunk walking (unknown chunks skipped, word
+alignment honored). Formats whose codecs are genuinely absent from this
+container (PNG/JPEG/GIF, compressed audio) raise ``NotImplementedError``
+with the library a deployment would drop in; opaque non-image blobs
+route through ``byte_tensor``, a deterministic digest-derived featurizer
+(a real featurizer for arbitrary bytes — NOT a decode stand-in).
 """
 
 from __future__ import annotations
@@ -159,6 +161,65 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError("truncated PPM pixel array")
     px = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
     return np.ascontiguousarray(px.reshape(h, w, 3))
+
+
+_WAV_RIFF = struct.Struct("<4sI4s")      # 'RIFF', riff size, 'WAVE'
+_WAV_CHUNK = struct.Struct("<4sI")       # chunk id, chunk size
+_WAV_FMT = struct.Struct("<HHIIHH")      # audio fmt, channels, rate, byte rate, block align, bits
+
+
+def encode_wav(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """Canonical PCM16 WAV writer (RIFF + fmt + data): ``samples`` is the
+    int16 INTERLEAVED stream (len = frames * channels). Dependency-free
+    twin of decode_wav; the audio analog of encode_bmp/encode_ppm."""
+    if len(samples) % channels:
+        raise ValueError("interleaved length must divide by channels")
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (_WAV_RIFF.pack(b"RIFF", 36 + len(data), b"WAVE")
+           + _WAV_CHUNK.pack(b"fmt ", 16)
+           + _WAV_FMT.pack(1, channels, rate, rate * channels * 2,
+                           channels * 2, 16)
+           + _WAV_CHUNK.pack(b"data", len(data)))
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL dependency-free WAV reader: validates the RIFF/WAVE envelope,
+    WALKS the chunk list (unknown chunks — LIST/fact/cue — are skipped,
+    as in-the-wild files carry them), parses fmt, and returns
+    (interleaved int16 samples, sample_rate, channels). PCM16 only —
+    compressed or non-16-bit formats raise ``NotImplementedError`` naming
+    the production decoder (soundfile/ffmpeg) a deployment drops in."""
+    if len(data) < 12:
+        raise ValueError("truncated WAV: no RIFF header")
+    magic, _, wave = _WAV_RIFF.unpack_from(data, 0)
+    if magic != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = _WAV_CHUNK.unpack_from(data, pos)
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            if sz < 16 or len(body) < 16:
+                raise ValueError("short fmt chunk")
+            fmt = _WAV_FMT.unpack_from(body, 0)
+        elif cid == b"data":
+            if len(body) < sz:
+                raise ValueError("truncated WAV: data chunk short")
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV audio_format={audio_fmt} bits={bits}: only PCM16 is "
+            "decoded natively; route compressed audio through "
+            "soundfile/ffmpeg in production")
+    samples = np.frombuffer(raw, dtype="<i2")
+    if channels and len(samples) % channels:
+        raise ValueError("data chunk not divisible by channel count")
+    return samples, rate, channels
 
 
 def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:

@@ -1111,6 +1111,88 @@ ORDER BY doc_id
 """
 
 
+AUD_FMOD = 64          # frames = 200 + doc_id % AUD_FMOD
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the dependency-free WAV codec
+    (multimodal/binary_ops.py::encode_wav/decode_wav): a deterministic
+    per-doc PCM16 stream (mono or stereo, 8 kHz or 10 kHz) is encoded to
+    RIFF/WAVE bytes and decoded back — chunk walk, fmt parse, int16
+    de-interleave all under test — then reduced to integer stats
+    (duration, total |amplitude|, peak). The oracle computes the same
+    stats in closed form from the sample formula plus the exact
+    44-byte-header size arithmetic, so a header, alignment, or dtype bug
+    breaks the value hash. Same Arrow-batch shape as ``image_stats``:
+    this is the audio leg of the multimodal column plumbing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..memtune import tune_allocator
+    from ..multimodal.binary_ops import decode_wav, encode_wav
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out_schema = ("doc_id BIGINT, n_frames BIGINT, channels BIGINT, "
+                  "sample_rate BIGINT, duration_us BIGINT, blob_bytes BIGINT, "
+                  "sum_abs BIGINT, peak BIGINT")
+    pa_schema = pa.schema([(n, pa.int64()) for n in (
+        "doc_id", "n_frames", "channels", "sample_rate", "duration_us",
+        "blob_bytes", "sum_abs", "peak")])
+
+    def kernel(batches):
+        tune_allocator()
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {n: [] for n in pa_schema.names}
+            for did in ids.tolist():
+                frames = 200 + did % AUD_FMOD
+                ch = 2 if did % 3 == 0 else 1
+                rate = 8000 if did % 2 == 0 else 10000
+                k = np.arange(frames * ch, dtype=np.int64)
+                samples = ((did * 131 + k * 17) % 4001 - 2000).astype(np.int16)
+                blob = encode_wav(samples, rate, ch)
+                dec, drate, dch = decode_wav(blob)  # the codec under test
+                cols["doc_id"].append(did)
+                cols["n_frames"].append(len(dec) // dch)
+                cols["channels"].append(dch)
+                cols["sample_rate"].append(drate)
+                cols["duration_us"].append((len(dec) // dch) * 1_000_000 // drate)
+                cols["blob_bytes"].append(len(blob))
+                cols["sum_abs"].append(int(np.abs(dec.astype(np.int64)).sum()))
+                cols["peak"].append(int(dec.max()))
+            yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    return docs.mapInArrow(kernel, out_schema).orderBy("doc_id")
+
+
+SQL_AUDIO_STATS = f"""
+WITH dims AS (
+  SELECT doc_id, 200 + doc_id % {AUD_FMOD} AS frames,
+         CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 10000 END AS rate
+  FROM documents
+),
+s AS (
+  SELECT d.doc_id,
+         CAST(SUM(ABS((d.doc_id*131 + k.k*17) % 4001 - 2000)) AS BIGINT) AS sum_abs,
+         CAST(MAX((d.doc_id*131 + k.k*17) % 4001 - 2000) AS BIGINT) AS peak
+  FROM dims d
+  CROSS JOIN range(0, (200 + {AUD_FMOD - 1}) * 2) k(k)
+  WHERE k.k < d.frames * d.ch
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(d.frames AS BIGINT) AS n_frames,
+       CAST(d.ch AS BIGINT) AS channels,
+       CAST(d.rate AS BIGINT) AS sample_rate,
+       CAST(d.frames * 1000000 // d.rate AS BIGINT) AS duration_us,
+       CAST(44 + d.frames * d.ch * 2 AS BIGINT) AS blob_bytes,
+       s.sum_abs, s.peak
+FROM dims d JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # End-to-end cleaning pipeline composition.
 # ---------------------------------------------------------------------------
@@ -2187,4 +2269,5 @@ TEXTDATA_QUERIES = {
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
+    "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
 }

@@ -903,3 +903,38 @@ def test_canonicalize_urls_hand_built(spark):
         assert got[i]["canon_url"] == canon, (i, got[i]["canon_url"])
         assert got[i]["n_dropped_params"] == dropped, (i, got[i])
         assert got[i]["had_fragment"] is frag
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from parallel_count_min_sketch_spark.multimodal.binary_ops import (
+        _WAV_CHUNK,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(23)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32768, size=300 * ch, dtype=np.int16)
+        blob = encode_wav(s, 16000, ch)
+        dec, rate, dch = decode_wav(blob)
+        assert (dec == s).all() and rate == 16000 and dch == ch
+
+    # in-the-wild files carry extra chunks (LIST/fact) and odd-size
+    # word-aligned ones: the walker must skip them
+    s = np.arange(-5, 6, dtype=np.int16)
+    blob = encode_wav(s, 8000, 1)
+    hdr, rest = blob[:12], blob[12:]
+    extra = _WAV_CHUNK.pack(b"LIST", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    dec, rate, dch = decode_wav(hdr + extra + rest)
+    assert (dec == s).all() and rate == 8000 and dch == 1
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + blob[4:])
+    with pytest.raises(ValueError):
+        decode_wav(blob[:30])  # fmt truncated / missing data
+    # non-PCM16 -> explicit NotImplementedError naming the prod decoder
+    import struct as _struct
+    bad = bytearray(blob)
+    _struct.pack_into("<H", bad, 20, 3)  # audio_format = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
