@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",
+    "rollup_day_overlap",
     # round-4 additions
     "table_profile",
     "tfidf_top_terms",

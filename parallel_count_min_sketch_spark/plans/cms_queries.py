@@ -812,6 +812,81 @@ GROUP BY p.item ORDER BY p.item
 """
 
 
+OVERLAP_DAY_A, OVERLAP_DAY_B = "2024-01-10", "2024-01-11"
+
+
+def q_rollup_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day co-activity FROM THE ROLLUP STORE: the CMS inner
+    product (reference src/core/count_min_sketch.c:65-83) of two DAY
+    sketches estimates sum_u n_A(u)*n_B(u) — the join-size / repeat-
+    audience mass between two days — without touching per-user rows at
+    query time: in the store regime the two operands are KB-sized blobs
+    merged straight off the rollup store, so the marginal cost of EVERY
+    further day pair is microseconds (cf. BENCH/parity.json inner-product
+    latency), while each exact answer is a corpus-scale join. The exact
+    twin is computed alongside (one co-partitioned user equi-join) so the
+    oracle gates both numbers and the CMS one-sided overestimate
+    guarantee (est >= exact, by the same min-of-row-dots argument as the
+    point query)."""
+    from ..operators.rollup import cms_rollup_range, cms_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    buckets = cms_time_buckets(
+        ev, "ts", "user_id", ROLLUP_CFG, pre_aggregate=True).persist()
+    try:
+        ska = cms_rollup_range(buckets, OVERLAP_DAY_A, OVERLAP_DAY_A, ROLLUP_CFG)
+        skb = cms_rollup_range(buckets, OVERLAP_DAY_B, OVERLAP_DAY_B, ROLLUP_CFG)
+    finally:
+        buckets.unpersist()
+    est = int(ska.inner_product(skb))
+
+    def per_user(day: str):
+        return (ev.filter(F.col("ts").isNotNull()
+                          & F.col("user_id").isNotNull()
+                          & (F.to_date("ts") == F.lit(day).cast("date")))
+                .groupBy("user_id").agg(F.count("*").alias("n")))
+
+    exact = int(
+        per_user(OVERLAP_DAY_A).withColumnRenamed("n", "na")
+        .join(per_user(OVERLAP_DAY_B).withColumnRenamed("n", "nb"), "user_id")
+        .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+             .alias("x"))
+        .collect()[0]["x"])  # one-row scalar aggregate
+    return spark.createDataFrame(
+        [(OVERLAP_DAY_A, OVERLAP_DAY_B, est, exact, est >= exact)],
+        "day_a STRING, day_b STRING, est_inner BIGINT, exact_inner BIGINT, "
+        "overestimates BOOLEAN")
+
+
+def _sql_rollup_day_overlap() -> str:
+    def ids(day: str) -> str:
+        return (f"SELECT user_id AS item_id FROM events "
+                f"WHERE CAST(ts AS DATE) = DATE '{day}' "
+                "AND ts IS NOT NULL AND user_id IS NOT NULL")
+
+    def exact(day: str) -> str:
+        return (f"SELECT user_id, COUNT(*) AS n FROM events "
+                f"WHERE CAST(ts AS DATE) = DATE '{day}' "
+                "AND user_id IS NOT NULL GROUP BY 1")
+
+    return f"""
+WITH ba AS (WITH ids AS ({ids(OVERLAP_DAY_A)})
+            SELECT * FROM ({_duck_buckets_cte('item_id', ROLLUP_CFG)})),
+bb AS (WITH ids AS ({ids(OVERLAP_DAY_B)})
+       SELECT * FROM ({_duck_buckets_cte('item_id', ROLLUP_CFG)})),
+dots AS (SELECT ba.depth_row, SUM(ba.counter * bb.counter) AS dot
+         FROM ba JOIN bb USING (depth_row, bucket) GROUP BY 1),
+ex AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS x
+       FROM ({exact(OVERLAP_DAY_A)}) a JOIN ({exact(OVERLAP_DAY_B)}) b
+       USING (user_id))
+SELECT '{OVERLAP_DAY_A}' AS day_a, '{OVERLAP_DAY_B}' AS day_b,
+       CAST(MIN(dots.dot) AS BIGINT) AS est_inner,
+       CAST(MAX(ex.x) AS BIGINT) AS exact_inner,
+       CAST(MIN(dots.dot) AS BIGINT) >= CAST(MAX(ex.x) AS BIGINT) AS overestimates
+FROM dots, ex
+"""
+
+
 MG_ROLLUP_PHI = 0.008  # windowed frequent-user threshold (fraction of N)
 
 
@@ -898,6 +973,7 @@ ORDER BY c.win_count DESC, c.user_id
 CMS_QUERIES = {
     "trending_users": (q_trending_users, SQL_TRENDING_USERS),
     "cms_time_rollup": (q_cms_time_rollup, _sql_cms_time_rollup()),
+    "rollup_day_overlap": (q_rollup_day_overlap, _sql_rollup_day_overlap()),
     "mg_time_rollup": (q_mg_time_rollup, _sql_mg_time_rollup()),
     "cms_heavy_hitters_scalable": (q_cms_heavy_hitters_scalable, SQL_CMS_HEAVY_HITTERS_SCALABLE),
     "mg_frequent_tokens": (q_mg_frequent_tokens, SQL_MG_FREQUENT_TOKENS),

@@ -49,6 +49,7 @@ AUDITED = [
     ("host_quality_profile", "domain decision table: ONE map-side-combinable groupBy(source) over codegen textstats, no row shuffle"),
     ("incremental_dedup", "nightly-batch dedup vs persisted LSH index: batch band rows broadcast into a map-only index scan (index never shuffles), oversized corpus buckets pre-excluded via a broadcast anti-join, report joins bounded by the batch"),
     ("url_canonicalize", "URL canonicalization: one map-only pass of whole-stage-codegen string expressions, no shuffle, no Python"),
+    ("rollup_day_overlap", "day-pair co-activity: one bucket build feeds both day sketches (persist), inner product executor/driver-side on KB blobs, exact twin is one co-partitioned user join"),
 ]
 
 
