@@ -390,9 +390,13 @@ def incremental_lsh_matches(spark, new_df: DataFrame, id_col: str,
                             num_perms: int = DEFAULT_PERMS,
                             bands: int = DEFAULT_BANDS,
                             seed: int = MINHASH_SEED,
-                            broadcast_new: bool = True) -> DataFrame:
+                            broadcast_new: bool = True,
+                            index_bands: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup matches of a NEW batch against a stored corpus
-    index: (new_id, corpus_id), distinct.
+    index: (new_id, corpus_id), distinct. ``index_bands`` overrides the
+    ``bands`` dataset read (the streaming sink passes the base index
+    unioned with prior micro-batches' appends, excluding its own
+    batch_id so replays stay deterministic).
 
     Scale shape — the whole point of the operator: the corpus-scale
     ``bands`` index is the STREAMED side of a broadcast hash join (the
@@ -407,7 +411,9 @@ def incremental_lsh_matches(spark, new_df: DataFrame, id_col: str,
 
     Empty docs have NULL band keys on both sides and never equi-join.
     """
-    idx = spark.read.parquet(index_path + "/bands")
+    idx = (index_bands if index_bands is not None
+           else spark.read.parquet(index_path + "/bands"))
+    idx = idx.select("corpus_id", "band", "band_key")
     oversized = spark.read.parquet(index_path + "/oversized")
     new_bands = (
         lsh_band_rows(new_df, id_col, text, num_perms=num_perms,
@@ -429,9 +435,11 @@ def incremental_dedup_report(spark, new_df: DataFrame, id_col: str,
                              num_perms: int = DEFAULT_PERMS,
                              bands: int = DEFAULT_BANDS,
                              seed: int = MINHASH_SEED,
-                             max_bucket: int | None = None) -> DataFrame:
+                             max_bucket: int | None = None,
+                             index_bands: DataFrame | None = None) -> DataFrame:
     """Per-new-doc keep/drop decision for an incremental dedup pass:
-    (id, corpus_dup, batch_dup_of, keep).
+    (id, corpus_dup, batch_dup_of, keep). ``index_bands`` is forwarded to
+    :func:`incremental_lsh_matches`.
 
     - ``corpus_dup``: the doc LSH-collides with at least one indexed
       corpus doc (via ``incremental_lsh_matches`` — index streamed,
@@ -448,7 +456,8 @@ def incremental_dedup_report(spark, new_df: DataFrame, id_col: str,
     """
     matches = incremental_lsh_matches(
         spark, new_df, id_col, index_path, text,
-        num_perms=num_perms, bands=bands, seed=seed)
+        num_perms=num_perms, bands=bands, seed=seed,
+        index_bands=index_bands)
     corpus_flag = (matches.select("new_id").distinct()
                    .withColumn("_corpus_dup", F.lit(True)))
     batch_pairs = lsh_candidate_pairs(
