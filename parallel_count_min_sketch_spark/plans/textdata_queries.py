@@ -1111,6 +1111,48 @@ ORDER BY doc_id
 """
 
 
+PACK_BUDGET = 2048     # tokens per packed training sequence
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing metadata
+    (operators/packing.py::concat_split_packing): every doc's global
+    token offset, pack id, and pack-boundary crossing under GPT-style
+    concatenation in doc_id order at a {PACK_BUDGET}-token budget. The
+    global running sum is a DISTRIBUTED prefix sum (range partition →
+    P-row driver prefix → per-partition window + broadcast offsets) —
+    never a corpus-wide single-task window (plan-gated). The DuckDB
+    oracle replays it with a plain ORDER BY window, value-exact."""
+    from ..operators.packing import concat_split_packing
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", ts.n_tokens("text").alias("n_tokens"))
+    out = concat_split_packing(docs, "doc_id", "n_tokens", PACK_BUDGET)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_offset", "pack_id", "crosses_boundary").orderBy("doc_id")
+
+
+def _sql_sequence_packing() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({ts.duck_n_tokens('text')} AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS start_offset
+  FROM toks)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       n_tokens > 0 AND
+         ((start_offset + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET})
+           > (start_offset // {PACK_BUDGET}) AS crosses_boundary
+FROM o ORDER BY doc_id
+"""
+
+
 AUD_FMOD = 64          # frames = 200 + doc_id % AUD_FMOD
 
 
@@ -2270,4 +2312,5 @@ TEXTDATA_QUERIES = {
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
+    "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
 }

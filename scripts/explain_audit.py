@@ -50,6 +50,7 @@ AUDITED = [
     ("incremental_dedup", "nightly-batch dedup vs persisted LSH index: batch band rows broadcast into a map-only index scan (index never shuffles), oversized corpus buckets pre-excluded via a broadcast anti-join, report joins bounded by the batch"),
     ("url_canonicalize", "URL canonicalization: one map-only pass of whole-stage-codegen string expressions, no shuffle, no Python"),
     ("rollup_day_overlap", "day-pair co-activity: one bucket build feeds both day sketches (persist), inner product executor/driver-side on KB blobs, exact twin is one co-partitioned user join"),
+    ("sequence_packing", "distributed prefix sum: range partition + P-row driver prefix + per-partition window with broadcast offsets — NO Exchange SinglePartition (the corpus never funnels through one task)"),
 ]
 
 
