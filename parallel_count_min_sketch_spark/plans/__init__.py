@@ -14,6 +14,7 @@ _NEVER_DRIVER_CHECKED = [
     "audio_stats",               # new in round 5
     "rollup_day_overlap",        # new in round 5
     "sequence_packing",          # new in round 5
+    "split_leakage",             # new in round 5
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5

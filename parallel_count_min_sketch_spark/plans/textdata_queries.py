@@ -1111,6 +1111,72 @@ ORDER BY doc_id
 """
 
 
+SPLIT_SEED = 777       # train/val assignment hash seed
+SPLIT_VAL_PCT = 10     # ~10% of docs to the validation split
+
+
+def _split_is_val_sql(id_expr: str) -> str:
+    """Deterministic hash split, identical in Spark SQL and DuckDB:
+    affine hash of the doc id mod 100 under SPLIT_VAL_PCT -> val."""
+    a, b = affine_params(SPLIT_SEED, 1)
+    return (f"(({int(a[0])} * ({id_expr} % {MERSENNE_PRIME}) + {int(b[0])}) "
+            f"% {MERSENNE_PRIME}) % 100 < {SPLIT_VAL_PCT}")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val LEAKAGE AUDIT — the decontamination check a training
+    pipeline runs after splitting: assign every doc to train/val by a
+    deterministic hash of its id, then count LSH near-dup pairs that
+    CROSS the split boundary (a val doc with a train near-twin inflates
+    eval scores). Pair generation rides the banded/bucketed LSH rails
+    (never all-pairs); the split is a pure codegen expression on the
+    pair's two ids, so the audit costs one aggregate over the candidate
+    pairs. Output: total candidate pairs, leaking cross-split pairs,
+    within-train and within-val pairs, and the val-doc count."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = dd.lsh_candidate_pairs(docs, "doc_id", max_bucket=LSH_MAX_BUCKET)
+    va = F.expr(_split_is_val_sql("id_a"))
+    vb = F.expr(_split_is_val_sql("id_b"))
+    vc = docs.agg(F.coalesce(
+        F.sum(F.expr(_split_is_val_sql("doc_id")).cast("long")),
+        F.lit(0).cast("long")).alias("n_val_docs"))
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.coalesce(F.sum((va != vb).cast("long")), F.lit(0).cast("long"))
+         .alias("n_cross_split"),
+        F.coalesce(F.sum((~va & ~vb).cast("long")), F.lit(0).cast("long"))
+         .alias("n_train_train"),
+        F.coalesce(F.sum((va & vb).cast("long")), F.lit(0).cast("long"))
+         .alias("n_val_val"),
+    ).crossJoin(F.broadcast(vc))  # one-row count relation, idiomatic
+
+
+def _sql_split_leakage() -> str:
+    return _duck_lsh_sizes_ctes() + f""",
+bands AS (
+  SELECT b.* FROM bands_all b JOIN sizes s USING (band, band_key)
+  WHERE s.sz <= {LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+),
+flagged AS (
+  SELECT ({_split_is_val_sql('id_a')}) AS va,
+         ({_split_is_val_sql('id_b')}) AS vb
+  FROM pairs
+),
+vc AS (SELECT COUNT(*) AS n FROM docs WHERE {_split_is_val_sql('doc_id')})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN va <> vb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_split,
+       CAST(COALESCE(SUM(CASE WHEN NOT va AND NOT vb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_train_train,
+       CAST(COALESCE(SUM(CASE WHEN va AND vb THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_val_val,
+       (SELECT CAST(n AS BIGINT) FROM vc) AS n_val_docs
+FROM flagged
+"""
+
+
 PACK_BUDGET = 2048     # tokens per packed training sequence
 
 
@@ -2313,4 +2379,5 @@ TEXTDATA_QUERIES = {
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
+    "split_leakage": (q_split_leakage, _sql_split_leakage()),
 }
