@@ -216,8 +216,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
             f"WAV audio_format={audio_fmt} bits={bits}: only PCM16 is "
             "decoded natively; route compressed audio through "
             "soundfile/ffmpeg in production")
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
     samples = np.frombuffer(raw, dtype="<i2")
-    if channels and len(samples) % channels:
+    if len(samples) % channels:
         raise ValueError("data chunk not divisible by channel count")
     return samples, rate, channels
 

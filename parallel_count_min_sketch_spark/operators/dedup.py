@@ -265,7 +265,8 @@ def lsh_band_rows(df: DataFrame, id_col: str, text: str = "text", *,
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
                         num_perms: int = DEFAULT_PERMS, bands: int = DEFAULT_BANDS,
                         seed: int = MINHASH_SEED,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        band_rows: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup candidates: band the signature, hash each band,
     self-join on (band, band_key). Returns distinct (id_a, id_b), a < b.
 
@@ -276,9 +277,13 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text: str = "text", *,
     otherwise emit s^2 pairs on one task and OOM it at corpus scale).
     Dropped buckets are near-exact-duplicate cliques; route those through
     exact_dup_groups instead of pairwise LSH. Use ``lsh_bucket_stats`` to
-    size the cap and surface what a given cap drops."""
-    band_rows = lsh_band_rows(df, id_col, text, num_perms=num_perms,
-                              bands=bands, seed=seed)
+    size the cap and surface what a given cap drops. ``band_rows``
+    bypasses the MinHash recompute when the caller already materialized
+    the (_id, band, band_key) rows (the incremental report shares one
+    band computation between the index probe and this self-join)."""
+    if band_rows is None:
+        band_rows = lsh_band_rows(df, id_col, text, num_perms=num_perms,
+                                  bands=bands, seed=seed)
     # ONE explicit exchange on the join key: the cap aggregation, the
     # anti-join, and BOTH self-join sides all consume band_rows, and
     # without this each consumer would recompute the whole minhash
@@ -391,7 +396,8 @@ def incremental_lsh_matches(spark, new_df: DataFrame, id_col: str,
                             bands: int = DEFAULT_BANDS,
                             seed: int = MINHASH_SEED,
                             broadcast_new: bool = True,
-                            index_bands: DataFrame | None = None) -> DataFrame:
+                            index_bands: DataFrame | None = None,
+                            new_band_rows: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup matches of a NEW batch against a stored corpus
     index: (new_id, corpus_id), distinct. ``index_bands`` overrides the
     ``bands`` dataset read (the streaming sink passes the base index
@@ -415,9 +421,12 @@ def incremental_lsh_matches(spark, new_df: DataFrame, id_col: str,
            else spark.read.parquet(index_path + "/bands"))
     idx = idx.select("corpus_id", "band", "band_key")
     oversized = spark.read.parquet(index_path + "/oversized")
+    if new_band_rows is None:
+        new_band_rows = lsh_band_rows(new_df, id_col, text,
+                                      num_perms=num_perms, bands=bands,
+                                      seed=seed)
     new_bands = (
-        lsh_band_rows(new_df, id_col, text, num_perms=num_perms,
-                      bands=bands, seed=seed)
+        new_band_rows
         .withColumnRenamed("_id", "new_id")
         .join(F.broadcast(oversized), ["band", "band_key"], "left_anti")
     )
@@ -454,15 +463,21 @@ def incremental_dedup_report(spark, new_df: DataFrame, id_col: str,
     Both flag relations are bounded by the batch size; the joins back
     onto the batch are batch-scale, never corpus-scale.
     """
+    # ONE MinHash pass over the batch: both consumers below (index probe,
+    # batch self-join) have different downstream shapes, so without this
+    # Catalyst would run the Arrow minhash kernel twice over the batch
+    # text. localCheckpoint (bounded by the batch) pins it.
+    nb = lsh_band_rows(new_df, id_col, text, num_perms=num_perms,
+                       bands=bands, seed=seed).localCheckpoint(eager=True)
     matches = incremental_lsh_matches(
         spark, new_df, id_col, index_path, text,
         num_perms=num_perms, bands=bands, seed=seed,
-        index_bands=index_bands)
+        index_bands=index_bands, new_band_rows=nb)
     corpus_flag = (matches.select("new_id").distinct()
                    .withColumn("_corpus_dup", F.lit(True)))
     batch_pairs = lsh_candidate_pairs(
         new_df, id_col, text, num_perms=num_perms, bands=bands,
-        seed=seed, max_bucket=max_bucket)
+        seed=seed, max_bucket=max_bucket, band_rows=nb)
     earlier = batch_pairs.groupBy("id_b").agg(
         F.min("id_a").alias("batch_dup_of"))
     return (

@@ -43,6 +43,14 @@ def concat_split_packing(df: DataFrame, order_col: str, ntok_col: str,
     parts = df.repartitionByRange(
         *( [num_partitions] if num_partitions else [] ), F.col(order_col))
     parts = parts.withColumn("_pid", F.spark_partition_id())
+    # pin the partition assignment: the totals job below and the returned
+    # query are SEPARATE executions, and without truncating lineage a
+    # nondeterministic source (sample(), rand()-derived columns) — or a
+    # re-sampled range boundary — could assign different _pid values in
+    # each, silently corrupting every offset. localCheckpoint materializes
+    # the partitioned slice once (executor-local storage; lost blocks fail
+    # the job instead of recomputing) and both jobs read the same bytes.
+    parts = parts.localCheckpoint(eager=True)
     totals = (parts.groupBy("_pid")
               .agg(F.sum(F.col(ntok_col).cast("long")).alias("_tot"))
               .collect())  # P rows — bounded by shuffle partitions

@@ -869,13 +869,20 @@ def _sql_rollup_day_overlap() -> str:
                 f"WHERE CAST(ts AS DATE) = DATE '{day}' "
                 "AND user_id IS NOT NULL GROUP BY 1")
 
+    # the depth-row spine keeps the MIN faithful to the kernel, which mins
+    # over ALL d rows: a depth row with NO overlapping nonzero buckets has
+    # dot = 0, and an inner-join-only dots CTE would silently drop it
+    # (kernel est 0 vs oracle min-of-positive-dots mismatch on sparse days)
     return f"""
 WITH ba AS (WITH ids AS ({ids(OVERLAP_DAY_A)})
             SELECT * FROM ({_duck_buckets_cte('item_id', ROLLUP_CFG)})),
 bb AS (WITH ids AS ({ids(OVERLAP_DAY_B)})
        SELECT * FROM ({_duck_buckets_cte('item_id', ROLLUP_CFG)})),
-dots AS (SELECT ba.depth_row, SUM(ba.counter * bb.counter) AS dot
-         FROM ba JOIN bb USING (depth_row, bucket) GROUP BY 1),
+spine AS (SELECT s.depth_row FROM range(0, {ROLLUP_CFG.depth}) s(depth_row)),
+joined AS (SELECT ba.depth_row, SUM(ba.counter * bb.counter) AS dot
+           FROM ba JOIN bb USING (depth_row, bucket) GROUP BY 1),
+dots AS (SELECT s.depth_row, COALESCE(j.dot, 0) AS dot
+         FROM spine s LEFT JOIN joined j USING (depth_row)),
 ex AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS x
        FROM ({exact(OVERLAP_DAY_A)}) a JOIN ({exact(OVERLAP_DAY_B)}) b
        USING (user_id))

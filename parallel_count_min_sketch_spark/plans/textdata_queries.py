@@ -228,26 +228,16 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_lsh_sizes_ctes() -> str:
-    """The band-key replay shared by the lsh_pairs and lsh_bucket_stats
-    oracles: docs -> token-id sets -> 32 MinHash mins -> 4 band keys ->
-    per-(band, band_key) bucket sizes."""
-    a, b = affine_params(dd.MINHASH_SEED, dd.DEFAULT_PERMS)
-    rows_per_band = dd.DEFAULT_PERMS // dd.DEFAULT_BANDS
-    sig_cols = ", ".join(
-        f"list_min(list_transform(ids, x -> ({int(a[j])} * (x % {MERSENNE_PRIME}) + {int(b[j])}) % {MERSENNE_PRIME})) AS s{j}"
-        for j in range(dd.DEFAULT_PERMS)
-    )
-    band_keys = []
-    for i in range(dd.DEFAULT_BANDS):
-        expr = "CAST(0 AS BIGINT)"
-        for j in range(i * rows_per_band, (i + 1) * rows_per_band):
-            expr = f"(({expr}) * 1000003 + s{j}) % {MERSENNE_PRIME}"
-        band_keys.append(f"SELECT doc_id, {i} AS band, {expr} AS band_key FROM sigs")
+    """The band-key replay shared by the lsh_pairs / lsh_bucket_stats /
+    split_leakage oracles: docs -> token-id sets -> 32 MinHash mins -> 4
+    band keys -> per-(band, band_key) bucket sizes. The signature/band
+    SQL itself comes from _duck_band_ctes — ONE emitter for every LSH
+    oracle (the incremental_dedup oracle uses the same one per side), so
+    fold constants can never desynchronize between them."""
     return f"""
 WITH docs AS ({_DUCK_DOCS_WITH_DUPS}),
-with_ids AS (SELECT doc_id, {_duck_token_ids('text')} AS ids FROM docs),
-sigs AS (SELECT doc_id, {sig_cols} FROM with_ids),
-bands_all AS ({' UNION ALL '.join(band_keys)}),
+{_duck_band_ctes('lsh', 'docs')},
+bands_all AS (SELECT * FROM lsh_bands),
 sizes AS (SELECT band, band_key, COUNT(*) AS sz FROM bands_all GROUP BY 1, 2)"""
 
 

@@ -48,11 +48,17 @@ def read_streamed_index_bands(spark, index_path: str,
     """Base index bands unioned with streamed keeper bands (if any).
     ``exclude_batch_id`` drops that batch's own partition — the replay
     guard the sink relies on."""
+    from pyspark.errors import AnalysisException
+
     idx = spark.read.parquet(index_path + "/bands") \
         .select("corpus_id", "band", "band_key")
     try:
         streamed = spark.read.parquet(index_path + _STREAM_BANDS)
-    except Exception:  # first batch: no streamed partitions yet
+    except AnalysisException:  # first batch: no streamed partitions yet.
+        # ONLY the missing-path case is survivable — a transient I/O or
+        # corrupt-footer error must fail the batch (checkpoint retries it)
+        # rather than silently dedup against the base index alone and
+        # admit duplicates of prior batches' keepers.
         return idx
     if exclude_batch_id is not None:
         streamed = streamed.filter(F.col("batch_id") != int(exclude_batch_id))

@@ -47,9 +47,7 @@ AUDITED = [
     ("doc_familiarity", "bigram familiarity: doc-local tf pairs, one co-partitioned (bg) join, bounded bottom-K via TakeOrderedAndProject — no inferred-filter kernel inlining"),
     ("trending_users", "recency-weighted HH: one-row MAX(day) broadcast, weighted partial/final sketch agg, broadcast probe join, TakeOrderedAndProject top-K"),
     ("host_quality_profile", "domain decision table: ONE map-side-combinable groupBy(source) over codegen textstats, no row shuffle"),
-    ("incremental_dedup", "nightly-batch dedup vs persisted LSH index: batch band rows broadcast into a map-only index scan (index never shuffles), oversized corpus buckets pre-excluded via a broadcast anti-join, report joins bounded by the batch"),
     ("url_canonicalize", "URL canonicalization: one map-only pass of whole-stage-codegen string expressions, no shuffle, no Python"),
-    ("rollup_day_overlap", "day-pair co-activity: one bucket build feeds both day sketches (persist), inner product executor/driver-side on KB blobs, exact twin is one co-partitioned user join"),
     ("sequence_packing", "distributed prefix sum: range partition + P-row driver prefix + per-partition window with broadcast offsets — NO Exchange SinglePartition (the corpus never funnels through one task)"),
 ]
 
@@ -66,9 +64,36 @@ def _rollup_build_df(spark, sf_dir):
     return cms_time_buckets(ev, "ts", "user_id", ROLLUP_CFG, pre_aggregate=True)
 
 
+def _incremental_matches_df(spark, sf_dir):
+    """The contract query's final DataFrame is a localCheckpoint scan (the
+    index tempdir is torn down before return), so audit the interesting
+    stage directly: the batch-vs-index probe join. Expect the bands
+    FileScan STREAMED into a BroadcastHashJoin (index never exchanged),
+    batch band rows on the BuildRight broadcast side, oversized keys in a
+    broadcast anti-join."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parallel_count_min_sketch_spark.operators import dedup as dd
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        LSH_MAX_BUCKET,
+        _docs_with_dups,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    tmp = tempfile.mkdtemp(prefix="pcms_audit_idx_")
+    dd.write_lsh_index(corpus, "doc_id", tmp, max_bucket=LSH_MAX_BUCKET)
+    return dd.incremental_lsh_matches(spark, batch, "doc_id", tmp)
+
+
 EXTRA = [
     ("cms_time_rollup (bucket build)", _rollup_build_df,
      "distinct-first rollup build: expect partial+final HashAggregate on (day,item) feeding the grouped Arrow sketch stage — no per-occurrence rows cross the Python channel"),
+    ("incremental_dedup (index probe join)", _incremental_matches_df,
+     "nightly-batch dedup vs persisted LSH index: batch band rows broadcast into a map-only index scan (index FileScan streamed, never exchanged), oversized corpus buckets pre-excluded via a broadcast anti-join"),
 ]
 
 
