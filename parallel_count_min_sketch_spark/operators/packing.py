@@ -31,13 +31,21 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def concat_split_packing(df: DataFrame, order_col: str, ntok_col: str,
                          budget: int,
-                         num_partitions: int | None = None) -> DataFrame:
+                         num_partitions: int | None = None,
+                         pin_partitions: bool = True) -> DataFrame:
     """Adds to each row: ``start_offset`` (global token offset of the
     doc's first token under concatenation in ``order_col`` order),
     ``pack_id`` (= start_offset DIV budget), and ``crosses_boundary``
     (doc spans a pack cut — the doc a packed loader must split or mask).
     ``order_col`` values must be unique (they define the concatenation
-    order); empty docs get well-defined offsets and never cross."""
+    order); empty docs get well-defined offsets and never cross.
+
+    ``pin_partitions=False`` skips the localCheckpoint below — safe ONLY
+    when ``df``'s lineage is deterministic (a parquet scan, a range):
+    the totals job and the output query then recompute identical
+    partition assignments and the ~rows x 3-longs materialization is
+    saved. Leave True for anything sampled, rand()-derived, or
+    shuffled-upstream — silent offset corruption otherwise."""
     if budget <= 0:
         raise ValueError("budget must be positive")
     parts = df.repartitionByRange(
@@ -50,7 +58,8 @@ def concat_split_packing(df: DataFrame, order_col: str, ntok_col: str,
     # each, silently corrupting every offset. localCheckpoint materializes
     # the partitioned slice once (executor-local storage; lost blocks fail
     # the job instead of recomputing) and both jobs read the same bytes.
-    parts = parts.localCheckpoint(eager=True)
+    if pin_partitions:
+        parts = parts.localCheckpoint(eager=True)
     totals = (parts.groupBy("_pid")
               .agg(F.sum(F.col(ntok_col).cast("long")).alias("_tot"))
               .collect())  # P rows — bounded by shuffle partitions

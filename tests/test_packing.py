@@ -56,3 +56,14 @@ def test_packing_plan_has_no_single_partition_window(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan  # the per-partition running sum is a window
+
+
+def test_packing_unpinned_matches_pinned_on_deterministic_input(spark):
+    rows = [(i, (i * 3) % 9) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id LONG, n INT")
+    a = {r["doc_id"]: r["start_offset"]
+         for r in concat_split_packing(df, "doc_id", "n", 40).collect()}
+    b = {r["doc_id"]: r["start_offset"]
+         for r in concat_split_packing(df, "doc_id", "n", 40,
+                                       pin_partitions=False).collect()}
+    assert a == b
