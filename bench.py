@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "doc_familiarity",
     "trending_users",
     "host_quality_profile",
+    # (incremental_dedup's wall is ~8 small jobs of fixed overhead — it
+    # BUNDLES one-time index build + probe in one self-contained query;
+    # the probe's own scaling lives in BENCH/incremental_scale.json)
     "incremental_dedup",
     "url_canonicalize",
     "sequence_packing",
