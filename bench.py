@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "sequence_packing",
     "split_leakage",
+    "token_drift",
     # (dedup_components / near_dedup_kept_docs are gate-checked but not
     # timed here: on the template-heavy synthetic docs the SimHash pair
     # graph is ~2M genuine edges at sf0.1, so the timing measures pair

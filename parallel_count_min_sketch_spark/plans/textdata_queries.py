@@ -1101,6 +1101,54 @@ ORDER BY doc_id
 """
 
 
+DRIFT_TOP_K = 50
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot token drift — the distribution-shift monitor a
+    crawl pipeline runs between snapshots before retraining: the two
+    "snapshots" are the deterministic doc_id-parity halves of the corpus;
+    per token, its exact count in each half and the signed difference,
+    top-K by absolute shift. ONE map-side-combinable groupBy(tok) with
+    two conditional sums (no join between the halves), then a bounded
+    TakeOrderedAndProject — the 100-TB cost is the token-count aggregate
+    the engine already pays for vocab stats. All-integer output (counts
+    and diffs; normalized ppm shares are a display concern — at int64
+    they would overflow at ~9e12 occurrences of one token per half)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 1).alias("is_new"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    g = toks.groupBy("tok").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("old_count"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("new_count"),
+    )
+    g = g.withColumn("diff", F.col("new_count") - F.col("old_count"))
+    return (g.orderBy(F.abs("diff").desc(), F.col("tok").asc())
+            .limit(DRIFT_TOP_K)
+            .select("tok", "old_count", "new_count", "diff"))
+
+
+SQL_TOKEN_DRIFT = f"""
+WITH toks AS (
+  SELECT doc_id % 2 = 1 AS is_new,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+t AS (SELECT is_new, tok FROM toks WHERE tok <> ''),
+g AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS old_count,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_count
+  FROM t GROUP BY tok)
+SELECT tok, old_count, new_count,
+       CAST(new_count - old_count AS BIGINT) AS diff
+FROM g
+ORDER BY ABS(new_count - old_count) DESC, tok ASC
+LIMIT {DRIFT_TOP_K}
+"""
+
+
 SPLIT_SEED = 777       # train/val assignment hash seed
 SPLIT_VAL_PCT = 10     # ~10% of docs to the validation split
 
@@ -2370,4 +2418,5 @@ TEXTDATA_QUERIES = {
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "sequence_packing": (q_sequence_packing, _sql_sequence_packing()),
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
+    "token_drift": (q_token_drift, SQL_TOKEN_DRIFT),
 }
