@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "mg_time_rollup",
     "kmv_retention",
     "rollup_day_overlap",
+    "hll_sliding_window",
     # round-4 additions
     "table_profile",
     "tfidf_top_terms",

@@ -16,6 +16,7 @@ _NEVER_DRIVER_CHECKED = [
     "sequence_packing",          # new in round 5
     "split_leakage",             # new in round 5
     "token_drift",               # new in round 5
+    "hll_sliding_window",        # new in round 5
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5

@@ -255,6 +255,143 @@ FROM est, meta
 """
 
 
+SLIDE_WINDOW_DAYS = 7
+
+
+def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING distinct users from the per-day HLL rollup store — the
+    dashboard query ("7-day active users, daily") the store exists for:
+    for each day D in the [ROLLUP_LO+6, ROLLUP_HI] span, union-merge the
+    ≤7 covered KB-sized day sketches off the store (built ONCE, one
+    corpus pass) and report the estimate next to the exact
+    COUNT(DISTINCT). Marginal cost per additional window is a handful of
+    register-max merges — no event rescan; the exact twin pays one
+    day-spine join per window. The oracle replays the full register
+    pipeline PER WINDOW (grouped by window day, same single-copy hash
+    math as the other HLL oracles)."""
+    import datetime as _dt
+    import math
+
+    from .cms_queries import ROLLUP_HI, ROLLUP_LO
+    from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
+
+    ev = load(spark, sf_dir, "events")
+    buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_hll,
+                                  _hll_from_bytes,
+                                  pre_aggregate=True).persist()
+    lo_d = _dt.date.fromisoformat(ROLLUP_LO)
+    hi_d = _dt.date.fromisoformat(ROLLUP_HI)
+    win_days = [lo_d + _dt.timedelta(days=i + SLIDE_WINDOW_DAYS - 1)
+                for i in range((hi_d - lo_d).days - SLIDE_WINDOW_DAYS + 2)]
+    try:
+        merged = {
+            d: sketch_rollup_range(
+                buckets,
+                (d - _dt.timedelta(days=SLIDE_WINDOW_DAYS - 1)).isoformat(),
+                d.isoformat(), _mk_hll, _hll_from_bytes)
+            for d in win_days
+        }
+    finally:
+        buckets.unpersist()
+
+    spine = spark.createDataFrame([(d.isoformat(),) for d in win_days],
+                                  "win_day STRING")
+    du = (ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select(F.col("ts").cast("date").cast("string").alias("d"),
+                  "user_id").distinct())
+    exact = {
+        r["win_day"]: r["n"]
+        for r in du.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("win_day"))
+            & (F.col("d") >= F.date_sub(F.col("win_day").cast("date"),
+                                        SLIDE_WINDOW_DAYS - 1).cast("string")))
+        .groupBy("win_day").agg(F.countDistinct("user_id").alias("n"))
+        .collect()  # one row per window — bounded by the spine
+    }
+    thr = 5 * (1.04 / math.sqrt(_mk_hll().m))
+    rows = []
+    for d in win_days:
+        s, v, est = merged[d].estimate_portable()
+        ex = int(exact.get(d.isoformat(), 0))
+        ok = ex > 0 and abs(est - float(ex)) / float(ex) < thr
+        rows.append((d.isoformat(), ex, int(v), int(s),
+                     int(math.floor(est)), bool(ok)))
+    return spark.createDataFrame(
+        rows,
+        "day STRING, exact_distinct BIGINT, zero_registers BIGINT, "
+        "scaled_inverse_sum BIGINT, est_floor BIGINT, within_bound BOOLEAN",
+    ).orderBy("day")
+
+
+def _hll_sliding_window_sql() -> str:
+    import math
+
+    from .cms_queries import ROLLUP_HI, ROLLUP_LO
+    from ..sketches.hll import HLL_SCALE_BITS, _alpha
+
+    hll = _mk_hll()
+    m = hll.m
+    a, b = hll.a, hll.b
+    h1 = affine_sql(int(a[0]), int(b[0]), "item_id")
+    h2 = affine_sql(int(a[1]), int(b[1]), "item_id")
+    alpha = _alpha(m)
+    scale = float(1 << HLL_SCALE_BITS)
+    thr = 5 * (1.04 / math.sqrt(m))
+    raw = f"(CAST({alpha!r} AS DOUBLE) * {m * m} * CAST({scale!r} AS DOUBLE) / s)"
+    w = SLIDE_WINDOW_DAYS
+    return f"""
+WITH spine AS (
+  SELECT DATE '{ROLLUP_LO}' + CAST(s.i + {w - 1} AS INTEGER) AS win_day
+  FROM range(0, datediff('day', DATE '{ROLLUP_LO}', DATE '{ROLLUP_HI}') - {w} + 2) s(i)
+),
+ids AS (
+  SELECT CAST(user_id AS BIGINT) AS item_id, CAST(ts AS DATE) AS d
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND CAST(ts AS DATE) BETWEEN DATE '{ROLLUP_LO}' AND DATE '{ROLLUP_HI}'
+),
+win AS (
+  SELECT w.win_day, i.item_id FROM spine w
+  JOIN ids i ON i.d BETWEEN w.win_day - {w - 1} AND w.win_day
+),
+hashed AS (SELECT win_day, {h1} AS h1, {h2} AS h2 FROM win),
+regs AS (
+  SELECT win_day, h1 % {m} AS bucket,
+         CASE WHEN h2 = 0 THEN 32
+              ELSE CAST(log2(h2 & -h2) AS BIGINT) + 1 END AS rho
+  FROM hashed
+),
+reg_table AS (SELECT win_day, bucket, MAX(rho) AS register FROM regs GROUP BY 1, 2),
+stats AS (
+  SELECT win_day, CAST({m} - COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - register))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_SCALE_BITS}) AS BIGINT) AS s
+  FROM reg_table GROUP BY win_day
+),
+exact AS (
+  SELECT w.win_day, CAST(COUNT(DISTINCT i.item_id) AS BIGINT) AS exact_distinct
+  FROM spine w JOIN ids i ON i.d BETWEEN w.win_day - {w - 1} AND w.win_day
+  GROUP BY w.win_day
+),
+est AS (
+  SELECT win_day, s, v,
+         CASE WHEN {raw} <= CAST({2.5 * m!r} AS DOUBLE) AND v > 0
+              THEN CAST({float(m)!r} AS DOUBLE) * ln(CAST({float(m)!r} AS DOUBLE) / v)
+              ELSE {raw} END AS e
+  FROM stats
+)
+SELECT CAST(x.win_day AS VARCHAR) AS day, x.exact_distinct,
+       est.v AS zero_registers, est.s AS scaled_inverse_sum,
+       CAST(FLOOR(est.e) AS BIGINT) AS est_floor,
+       (x.exact_distinct > 0 AND
+        abs(est.e - x.exact_distinct) / x.exact_distinct
+        < CAST({thr!r} AS DOUBLE)) AS within_bound
+FROM exact x JOIN est USING (win_day)
+ORDER BY day
+"""
+
+
 def _mk_bloom():
     return BloomFilter(BLOOM_EXPECTED, BLOOM_FPP, seed=BLOOM_SEED)
 
@@ -1259,6 +1396,7 @@ SKETCH_QUERIES = {
     "hll_distinct": (q_hll_distinct, _hll_distinct_sql()),
     "hll_grouped_by_lang": (q_hll_grouped_by_lang, _hll_grouped_sql()),
     "hll_time_rollup": (q_hll_time_rollup, _hll_time_rollup_sql()),
+    "hll_sliding_window": (q_hll_sliding_window, _hll_sliding_window_sql()),
     "bloom_membership": (q_bloom_membership, _bloom_sql()),
     "bloom_semijoin_stats": (q_bloom_semijoin_stats, _bloom_semijoin_sql()),
     "countsketch_estimates": (q_countsketch_estimates, _cs_estimates_sql()),
