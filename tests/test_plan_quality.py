@@ -401,3 +401,29 @@ def test_incremental_matches_streams_index_without_shuffle(spark, tmp_path):
     join_at = plan.find("BroadcastHashJoin")
     assert -1 < join_at < scan_at, plan
     assert "Exchange" not in plan[join_at:scan_at], plan
+
+
+def test_token_drift_plan_bounded_topk(spark):
+    """Drift monitor: ONE partial/final groupBy(tok) (map-side combine)
+    and a bounded TakeOrderedAndProject — no corpus-wide sort."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_token_drift,
+    )
+
+    df = q_token_drift(spark, "/root/testdata/sf0.001")
+    plan = _plan(df, execute=True)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_plan_no_cartesian(spark):
+    """Leakage audit: the only non-equi join is the one-row count
+    relation broadcast; the pair generation stays bucketed equi-join."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_split_leakage,
+    )
+
+    df = q_split_leakage(spark, "/root/testdata/sf0.001")
+    plan = _plan(df, execute=True)
+    assert "CartesianProduct" not in plan, plan
