@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "vocab_stats",
     "asof_last_purchase",
     "event_sessions",
+    "event_funnel",
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",

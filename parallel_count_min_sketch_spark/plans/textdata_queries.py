@@ -2271,6 +2271,54 @@ GROUP BY 1, 2 ORDER BY 1
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) — the
+    product-analytics staple: per user the FIRST occurrence of each stage
+    (one map-side-combinable groupBy(user) with conditional mins), then
+    one aggregate row counting users whose stage firsts are strictly
+    ordered in time. Two partial/final aggregates total, no join, no
+    window — the 100-TB cost is one pass over events. Ties and missing
+    stages fall out of the strict < (NULL never satisfies it), replayed
+    identically by the oracle."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    g = ev.groupBy("user_id").agg(
+        first_of("view").alias("v"),
+        first_of("click").alias("c"),
+        first_of("purchase").alias("p"),
+    )
+    one = F.lit(1)
+    return g.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("v").isNotNull(), one).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("v") < F.col("c"), one).otherwise(0))
+         .alias("n_view_click"),
+        F.sum(F.when((F.col("v") < F.col("c")) & (F.col("c") < F.col("p")),
+                     one).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH g AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS c,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN v < c THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN v < c AND c < p THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM g
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with Spark's NATIVE session_window (the Spark-first
     form — the same operator Structured Streaming uses for streaming
@@ -2413,6 +2461,7 @@ TEXTDATA_QUERIES = {
     "purchase_click_attribution": (q_purchase_click_attribution,
                                    SQL_PURCHASE_CLICK_ATTRIBUTION),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
