@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "asof_last_purchase",
     "event_sessions",
     "event_funnel",
+    "cohort_retention",
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",

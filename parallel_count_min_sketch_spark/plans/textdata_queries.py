@@ -2319,6 +2319,58 @@ FROM g
 """
 
 
+COHORT_MAX_OFFSET = 14  # days of retention tracked per cohort
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — per (signup-day cohort, day offset) the
+    count of distinct cohort users active that day: the analytics table
+    behind every retention curve. Shape: one groupBy(user) for the cohort
+    anchor (first signup), one distinct (user, day) pass, then a
+    co-partitioned hash join on user_id (the cohort relation is
+    user-cardinality, NOT broadcastable at scale — both sides shuffle
+    once on the same key) and one map-side-combinable count-distinct.
+    Output bounded by days x offsets, never by users."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    day = F.col("ts").cast("date")
+    cohorts = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id")
+               .agg(F.min(day).alias("cohort_day")))
+    acts = ev.select("user_id", day.alias("active_day")).distinct()
+    pairs = (acts.join(cohorts, "user_id")
+             .withColumn("day_offset",
+                         F.datediff("active_day", "cohort_day"))
+             .filter((F.col("day_offset") >= 0)
+                     & (F.col("day_offset") <= COHORT_MAX_OFFSET)))
+    return (pairs.groupBy(
+                F.col("cohort_day").cast("string").alias("cohort_day"),
+                F.col("day_offset").cast("long").alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active"))
+            .orderBy("cohort_day", "day_offset"))
+
+
+SQL_COHORT_RETENTION = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+cohorts AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id),
+acts AS (SELECT DISTINCT user_id, d AS active_day FROM ev),
+pairs AS (
+  SELECT c.cohort_day, a.active_day, a.user_id,
+         datediff('day', c.cohort_day, a.active_day) AS day_offset
+  FROM acts a JOIN cohorts c USING (user_id))
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM pairs
+WHERE day_offset BETWEEN 0 AND {COHORT_MAX_OFFSET}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with Spark's NATIVE session_window (the Spark-first
     form — the same operator Structured Streaming uses for streaming
@@ -2462,6 +2514,7 @@ TEXTDATA_QUERIES = {
                                    SQL_PURCHASE_CLICK_ATTRIBUTION),
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
