@@ -427,3 +427,22 @@ def test_split_leakage_plan_no_cartesian(spark):
     df = q_split_leakage(spark, "/root/testdata/sf0.001")
     plan = _plan(df, execute=True)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_and_cohort_plans_stay_aggregate_shaped(spark):
+    """Funnel: two partial/final aggregates, no join, no window. Cohort:
+    one co-partitioned user join, no cartesian, no window buffering."""
+    from parallel_count_min_sketch_spark.plans.textdata_queries import (
+        q_cohort_retention,
+        q_event_funnel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fp = _plan(q_event_funnel(spark, sf), execute=True)
+    assert "partial_min" in fp, fp
+    assert "Join" not in fp and "Window" not in fp, fp
+
+    cp = _plan(q_cohort_retention(spark, sf), execute=True)
+    assert "CartesianProduct" not in cp and "Window" not in cp, cp
+    assert "SortMergeJoin" in cp or "ShuffledHashJoin" in cp or \
+        "BroadcastHashJoin" in cp, cp
