@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "event_sessions",
     "event_funnel",
     "cohort_retention",
+    "event_paths",
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",

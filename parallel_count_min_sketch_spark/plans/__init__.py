@@ -19,6 +19,7 @@ _NEVER_DRIVER_CHECKED = [
     "hll_sliding_window",        # new in round 5
     "event_funnel",              # new in round 5
     "cohort_retention",          # new in round 5
+    "event_paths",               # new in round 5
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5

@@ -2371,6 +2371,60 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+PATH_TOP_K = 20
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — the top event-type TRIGRAM sequences users walk
+    within a (user, day) session: the product-analytics query behind
+    "what do users do before purchasing". Sequences are built
+    SESSION-LOCALLY (collect_list + array_sort on (ts, event_id, type)
+    structs — the total order makes ties deterministic; no window over
+    the event stream), trigrams extracted in codegen, one
+    map-side-combinable count and a bounded TakeOrderedAndProject. The
+    oracle rebuilds the same trigrams via ROW_NUMBER + rn-offset
+    self-joins — different construction, value-identical paths."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    seqs = (ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+            .agg(F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")))
+    # trigram array in codegen; explode_outer + isNotNull on the generator
+    # OUTPUT (never a size() filter on the HOF-built array — the inferred
+    # filter would inline the whole kernel twice)
+    # CASE guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a 1- or
+    # 2-event session would otherwise emit a truncated ghost path
+    tri = F.expr(
+        "CASE WHEN size(seq) >= 3 THEN "
+        "transform(sequence(1, size(seq) - 2), i -> "
+        "concat_ws('>', seq[i-1].event_type, seq[i].event_type, "
+        "seq[i+1].event_type)) ELSE array() END")
+    paths = (seqs.select(F.explode_outer(tri).alias("path"))
+             .filter(F.col("path").isNotNull()))
+    return (paths.groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("path").asc())
+            .limit(PATH_TOP_K))
+
+
+SQL_EVENT_PATHS = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+tri AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id AND b.d = a.d AND b.rn = a.rn + 1
+  JOIN e c ON c.user_id = a.user_id AND c.d = a.d AND c.rn = a.rn + 2)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with Spark's NATIVE session_window (the Spark-first
     form — the same operator Structured Streaming uses for streaming
@@ -2515,6 +2569,7 @@ TEXTDATA_QUERIES = {
     "event_sessions": (q_event_sessions, SQL_EVENT_SESSIONS),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "event_paths": (q_event_paths, SQL_EVENT_PATHS),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
