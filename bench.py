@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "event_funnel",
     "cohort_retention",
     "event_paths",
+    "script_mix",
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",

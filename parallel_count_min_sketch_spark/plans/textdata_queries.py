@@ -1101,6 +1101,58 @@ ORDER BY doc_id
 """
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix detection — the unicode-range profile that catches
+    mixed-script spam, wrong language IDs, and transliteration noise
+    before training: per doc the Latin / Cyrillic / CJK character counts
+    and the dominant script. The synthetic corpus is ASCII, so non-Latin
+    runs are PLANTED deterministically by doc_id (the pii_redaction
+    pattern); counting is `regexp_count` over literal character-class
+    ranges — the same pattern TEXT runs in Spark's Java regex and
+    DuckDB's RE2 (no \\u escapes, no shorthand classes), whole-stage
+    codegen, one map-only pass."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' привет мир' "
+        "WHEN doc_id % 4 = 1 THEN ' 你好世界' ELSE '' END")
+    docs = docs.withColumn("_t", F.expr(planted))
+    counts = {
+        "latin_chars": "[a-zA-Z]",
+        "cyrillic_chars": "[а-яА-Я]",
+        "cjk_chars": "[一-鿿]",
+    }
+    for name, cls in counts.items():
+        docs = docs.withColumn(
+            name, F.expr(f"CAST(regexp_count(_t, '{cls}') AS BIGINT)"))
+    dominant = (
+        "CASE WHEN cyrillic_chars > 0 AND cyrillic_chars >= cjk_chars "
+        "THEN 'cyrillic' WHEN cjk_chars > 0 THEN 'cjk' "
+        "WHEN latin_chars > 0 THEN 'latin' ELSE 'none' END")
+    return docs.select(
+        "doc_id", "latin_chars", "cyrillic_chars", "cjk_chars",
+        F.expr(dominant).alias("dominant_script")).orderBy("doc_id")
+
+
+def _sql_script_mix() -> str:
+    planted = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' привет мир' "
+        "WHEN doc_id % 4 = 1 THEN ' 你好世界' ELSE '' END")
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[a-zA-Z]')) AS BIGINT) AS latin_chars,
+         CAST(len(regexp_extract_all(t, '[а-яА-Я]')) AS BIGINT) AS cyrillic_chars,
+         CAST(len(regexp_extract_all(t, '[一-鿿]')) AS BIGINT) AS cjk_chars
+  FROM p)
+SELECT doc_id, latin_chars, cyrillic_chars, cjk_chars,
+       CASE WHEN cyrillic_chars > 0 AND cyrillic_chars >= cjk_chars
+            THEN 'cyrillic' WHEN cjk_chars > 0 THEN 'cjk'
+            WHEN latin_chars > 0 THEN 'latin' ELSE 'none' END AS dominant_script
+FROM c ORDER BY doc_id
+"""
+
+
 DRIFT_TOP_K = 50
 
 
@@ -2570,6 +2622,7 @@ TEXTDATA_QUERIES = {
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "event_paths": (q_event_paths, SQL_EVENT_PATHS),
+    "script_mix": (q_script_mix, _sql_script_mix()),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
