@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "event_paths",
     "script_mix",
+    "event_debounce",
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",

@@ -21,6 +21,7 @@ _NEVER_DRIVER_CHECKED = [
     "cohort_retention",          # new in round 5
     "event_paths",               # new in round 5
     "script_mix",                # new in round 5
+    "event_debounce",            # new in round 5
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5

@@ -2423,6 +2423,60 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+DEBOUNCE_US = 5_000_000  # drop an event within 5s of its predecessor
+DEBOUNCE_OFFSET = 10_000_000  # planted duplicate-delivery event ids
+
+
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-delivery debounce — the telemetry-ingest cleanup that
+    drops an event arriving within 5 s of the PREVIOUS event of the same
+    (user, type) (adjacent-gap debounce, the at-least-once-delivery
+    scrub). The fixture's events are day-sparse, so duplicate deliveries
+    are PLANTED deterministically (event_id % 7 = 0 re-delivered 3 s
+    later under event_id + offset). Doc-local shape: one groupBy per
+    (user, type) with an array_sort'ed (ts, event_id) struct list, the
+    keep decision in a codegen transform over adjacent pairs — no
+    corpus-wide window; the oracle states the same rule with LAG."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    dup = ev.filter(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") + DEBOUNCE_OFFSET).alias("event_id"),
+        "user_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 3 SECONDS")).alias("ts"))
+    allv = ev.unionByName(dup)
+    seqs = (allv.groupBy("user_id", "event_type")
+            .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id")))
+                 .alias("s")))
+    kept = F.expr(
+        "transform(sequence(1, size(s)), i -> CASE WHEN i = 1 OR "
+        f"timestampdiff(MICROSECOND, s[i-2].ts, s[i-1].ts) > {DEBOUNCE_US} "
+        "THEN s[i-1].event_id END)")
+    return (seqs.select(F.explode_outer(kept).alias("event_id"))
+            .filter(F.col("event_id").isNotNull())
+            .orderBy("event_id"))
+
+
+SQL_EVENT_DEBOUNCE = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+planted AS (
+  SELECT event_id + {DEBOUNCE_OFFSET} AS event_id, user_id, event_type,
+         ts + INTERVAL 3 SECOND AS ts
+  FROM base WHERE event_id % 7 = 0),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+l AS (
+  SELECT event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM allv)
+SELECT event_id FROM l
+WHERE prev IS NULL OR date_diff('microsecond', prev, ts) > {DEBOUNCE_US}
+ORDER BY event_id
+"""
+
+
 PATH_TOP_K = 20
 
 
@@ -2623,6 +2677,7 @@ TEXTDATA_QUERIES = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "event_paths": (q_event_paths, SQL_EVENT_PATHS),
     "script_mix": (q_script_mix, _sql_script_mix()),
+    "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
