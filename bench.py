@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "event_paths",
     "script_mix",
     "event_debounce",
+    "value_histogram",
     "cms_time_rollup",
     "mg_time_rollup",
     "kmv_retention",

@@ -22,6 +22,7 @@ _NEVER_DRIVER_CHECKED = [
     "event_paths",               # new in round 5
     "script_mix",                # new in round 5
     "event_debounce",            # new in round 5
+    "value_histogram",           # new in round 5
     "cms_cu_accuracy",           # new in round 5
     "collocations_dice",         # new in round 5
     "doc_familiarity",           # new in round 5

@@ -2423,6 +2423,35 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+HIST_BUCKETS, HIST_LO, HIST_WIDTH = 10, 0.0, 50.0  # [0, 500) equi-width
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type — the monitoring
+    aggregate behind every metrics dashboard: 10 buckets of width 50
+    over [0, 500) plus an overflow bucket, counted in ONE
+    map-side-combinable groupBy. Bucket arithmetic is
+    floor((value - lo) / width) clamped — identical IEEE double ops in
+    both engines, then integer counts. Output bounded: types x buckets."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.expr(
+        f"least(CAST(floor((value - {HIST_LO}) / {HIST_WIDTH}) AS BIGINT), "
+        f"{HIST_BUCKETS})")
+    return (ev.groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"))
+            .orderBy("event_type", "bucket"))
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT event_type,
+       LEAST(CAST(FLOOR((value - {HIST_LO}) / {HIST_WIDTH}) AS BIGINT),
+             {HIST_BUCKETS}) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 DEBOUNCE_US = 5_000_000  # drop an event within 5s of its predecessor
 DEBOUNCE_OFFSET = 10_000_000  # planted duplicate-delivery event ids
 
@@ -2678,6 +2707,7 @@ TEXTDATA_QUERIES = {
     "event_paths": (q_event_paths, SQL_EVENT_PATHS),
     "script_mix": (q_script_mix, _sql_script_mix()),
     "event_debounce": (q_event_debounce, SQL_EVENT_DEBOUNCE),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
