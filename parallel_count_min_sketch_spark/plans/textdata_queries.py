@@ -2465,7 +2465,10 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     later under event_id + offset). Doc-local shape: one groupBy per
     (user, type) with an array_sort'ed (ts, event_id) struct list, the
     keep decision in a codegen transform over adjacent pairs — no
-    corpus-wide window; the oracle states the same rule with LAG."""
+    corpus-wide window; the oracle states the same rule with LAG.
+    Same per-group memory bound as q_event_paths (largest (user, type)
+    stream buffered once; switch to the LAG window for bot-scale
+    groups — BENCH/events_analytics_scale.json measures both)."""
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -2518,7 +2521,14 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the event stream), trigrams extracted in codegen, one
     map-side-combinable count and a bounded TakeOrderedAndProject. The
     oracle rebuilds the same trigrams via ROW_NUMBER + rn-offset
-    self-joins — different construction, value-identical paths."""
+    self-joins — different construction, value-identical paths.
+
+    Scale note: per-group memory is bounded by the largest (user, day)
+    session — fine for human-scale activity (thousands of events/day),
+    measured at 100M rows in BENCH/events_analytics_scale.json. A bot
+    firing millions of events into one session needs the windowed LAG
+    formulation (one sort-exchange) instead of collect_list — same
+    values, traded for the extra shuffle."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     seqs = (ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
