@@ -772,25 +772,25 @@ def duplicate_span_stats(docs: DataFrame, *, id_col: str = "doc_id",
     Returns one row per input doc: ``(doc_id, n_spans, dup_spans,
     has_dup)`` — docs shorter than K tokens keep ``n_spans = 0``.
     Integer columns only, so the result is engine-exact (oracle replays
-    the same spans in SQL)."""
-    toks = F.expr(f"filter(split(coalesce({text}, ''), ' '), x -> x <> '')")
-    # Spark's sequence(1, 0) counts DOWN ([1, 0]) — guard short docs
-    spans = F.expr(
-        f"CASE WHEN size(_l) >= {k} THEN"
-        f" transform(sequence(1, size(_l) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(_l, i, {k})))"
-        f" ELSE CAST(array() AS array<string>) END")
-    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_l")) \
-               .select("_id", spans.alias("_sp"))
-    # explode_outer + null-drop: plain explode would inline the whole
-    # shingling expression into an InferFiltersFromGenerate size() filter
-    ex = (base.select("_id", F.explode_outer("_sp").alias("span"))
-              .filter(F.col("span").isNotNull()))
+    the same spans in SQL).
+
+    r6: the span stream comes from ONE Arrow pass emitting doc-DISTINCT
+    spans with their positional multiplicity (functions/text_arrow,
+    guide §4.2 — replaces the interpreted-HOF transform/slice kernel
+    that dominated this query's 17.7 s sf1.0 wall), localCheckpoint'ed
+    because it feeds both the dictionary build and the scoring join (no
+    CSE across join children). The doc-distinct form also removes the
+    old corpus-wide ``ex.distinct()`` exchange: df now counts stream
+    rows per span, and positional counts ride the ``tf`` column."""
+    from ..functions.text_arrow import ngram_tf_rows_arrow
+
+    st = ngram_tf_rows_arrow(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text).alias("text")),
+        int(k)).localCheckpoint()
 
     dic = (
-        ex.distinct()                       # doc-local dup positions count once
-        .groupBy("span")
-        .agg(F.count(F.lit(1)).alias("df"))
+        st.groupBy(F.col("ngram").alias("span"))
+        .agg(F.count(F.lit(1)).alias("df"))   # rows are doc-distinct
         .filter(F.col("df") >= int(min_docs))
         .groupBy(F.xxhash64("span").alias("_h"))
         .agg(F.collect_list("span").alias("_dup_sp"))
@@ -798,12 +798,13 @@ def duplicate_span_stats(docs: DataFrame, *, id_col: str = "doc_id",
     hit = F.when(
         F.array_contains(
             F.coalesce("_dup_sp", F.expr("CAST(array() AS array<string>)")),
-            F.col("span")), 1).otherwise(0)
+            F.col("span")), F.col("tf")).otherwise(F.lit(0).cast("bigint"))
     stats = (
-        ex.withColumn("_h", F.xxhash64("span"))
+        st.select(F.col("_id"), F.col("ngram").alias("span"), "tf")
+        .withColumn("_h", F.xxhash64("span"))
         .join(F.broadcast(dic), "_h", "left")
         .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_spans"),
+        .agg(F.sum("tf").alias("n_spans"),
              F.sum(hit).alias("dup_spans"))
     )
     return (

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import CMSConfig, djb2_sql_duckdb
 from ..operators.sql_build import cms_table_df, point_query_df
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 CFG = CMSConfig(epsilon=0.001, delta=0.1, seed=12345)  # reference defaults -> 3 x 2719
 
@@ -158,7 +158,10 @@ SELECT CAST(MIN(dot) AS BIGINT) AS inner_product FROM dots
 
 
 def _token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("text")
+    # load_spread: parallelism floor for the single-split fixture files
+    # (sources/tables.load_spread; guide §2/§6) — the explode + hash
+    # aggregate map side otherwise runs on one core
+    docs = load_spread(spark, sf_dir, "documents", "text")
     return docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(F.col("tok") != "")
 
 
@@ -253,7 +256,7 @@ def q_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted build shuffles at most depth*width rows per partition, probe
     side reuses the broadcast point_query_join, final top-K is
     TakeOrderedAndProject."""
-    ev = load(spark, sf_dir, "events").select(
+    ev = load_spread(spark, sf_dir, "events", "user_id", "ts").select(
         F.col("user_id").cast("bigint").alias("uid"),
         F.to_date("ts").alias("day"))
     ref = ev.agg(F.max("day").alias("ref_day"))
@@ -346,7 +349,7 @@ def q_cms_heavy_hitters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value: exact counts via GROUP BY, estimates via hash replay."""
     from ..operators.heavy_hitters import heavy_hitters_scalable
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "text")
     return heavy_hitters_scalable(docs, "text", CFG, HH_FRACTION)
 
 
@@ -603,7 +606,7 @@ def q_mg_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant), so the plain GROUP BY oracle checks it value-for-value."""
     from ..operators.heavy_hitters import mg_frequent_tokens
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents", "text")
     return mg_frequent_tokens(docs, "text", MG_K, HH_FRACTION)
 
 
@@ -664,7 +667,7 @@ def q_cms_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.rollup import cms_rollup_range, cms_time_buckets
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
     # distinct-first build: groupBy(day, user) count JVM-side, then one
     # weighted Arrow row per distinct pair — bit-identical to the
     # per-occurrence plan (test_pre_aggregate_rollup_build_is_bit_identical)
@@ -830,7 +833,7 @@ def q_rollup_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     point query)."""
     from ..operators.rollup import cms_rollup_range, cms_time_buckets
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
     buckets = cms_time_buckets(
         ev, "ts", "user_id", ROLLUP_CFG, pre_aggregate=True).persist()
     try:
@@ -918,7 +921,7 @@ def q_mg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import sketch_rollup_range, sketch_time_buckets
     from ..sketches.misra_gries import MisraGries
 
-    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
     # distinct-first: MG consumes (item, count) natively; the OUTPUT stays
     # deterministic (exact recount above a certified threshold) even
     # though summary bytes depend on arrival grouping

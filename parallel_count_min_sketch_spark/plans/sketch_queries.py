@@ -20,7 +20,7 @@ from ..sketches.hll import HyperLogLog
 from ..sketches.kll import KLLSketch
 from ..sketches.kmv import KMVSketch
 from ..sketches.tdigest import TDigest
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 HLL_PRECISION = 12
 HLL_SEED = 77
@@ -275,7 +275,7 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cms_queries import ROLLUP_HI, ROLLUP_LO
     from ..operators.rollup import sketch_time_buckets
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events")
     buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_hll,
                                   _hll_from_bytes, pre_aggregate=True)
     lo_d = _dt.date.fromisoformat(ROLLUP_LO)
@@ -936,7 +936,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator engages (62-bit hash space — see sketches/kmv.py) — both regimes flow through the same columns."""
     from ..sketches.kmv import KMV_HASH_SPACE
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem", "l_partkey")
     sk = build_sketch(li, "l_partkey", _mk_kmv, _kmv_from_bytes)
     exact = li.select("l_partkey").distinct().count()
     n, theta, _est = sk.estimate_portable()
@@ -983,7 +983,8 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setops import kmv_pair_estimates
     from ..operators.sketch_agg import sketch_grouped
 
-    orders = load(spark, sf_dir, "orders")
+    orders = load_spread(spark, sf_dir, "orders",
+                         "o_orderstatus", "o_custkey")
     grouped = sketch_grouped(orders, "o_orderstatus", "o_custkey",
                              _mk_kmv_set, _kmv_from_bytes)
     return kmv_pair_estimates(grouped).orderBy("group_a", "group_b")
@@ -1075,7 +1076,7 @@ def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import sketch_time_buckets
     from ..operators.setops import kmv_pair_estimates
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
     # distinct-first: bit-identical for KMV ('invariant'), fewer Arrow rows
     buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_kmv_ret,
                                   _kmv_from_bytes, pre_aggregate=True)

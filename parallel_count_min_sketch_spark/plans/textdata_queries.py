@@ -17,7 +17,7 @@ from ..functions import textstats as ts
 from ..operators import dedup as dd
 from ..operators.similarity import cosine_topk
 from ..sketches.hashing import MERSENNE_PRIME, affine_params
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 from ..config import djb2_sql_duckdb
 
 DUP_OFFSET = 1_000_000  # planted duplicates: doc_id + offset, same text
@@ -37,7 +37,10 @@ def _duck_fold_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # load_spread: parallelism floor for the single-split fixture files —
+    # the MinHash/SimHash Arrow kernels downstream otherwise run on one
+    # core (sources/tables.load_spread; guide §2/§6)
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0) \
         .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
     return docs.unionByName(dups)
@@ -55,15 +58,15 @@ SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 
 # ---------------------------------------------------------------------------
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        ts.n_tokens("text").alias("n_tokens"),
-        ts.bpe_ish_token_count("text").alias("bpe_ish_tokens"),
-        ts.avg_token_len_bp("text").alias("avg_token_len_bp"),
-        ts.stopword_ratio_bp("text").alias("stopword_ratio_bp"),
-        ts.quality_score_bp("text").alias("quality_score_bp"),
-    ).orderBy("doc_id")
+    # One Arrow pass for all five signals (functions/text_arrow, guide
+    # §4.2) — replaces five textstats expression trees whose HOF lambdas
+    # (filter/aggregate over the token array) evaluated interpreted;
+    # value-identical (test_textdata_ops::test_text_quality_arrow_parity).
+    from ..functions.text_arrow import text_quality_stats_arrow
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
+    return text_quality_stats_arrow(
+        docs, ts.STOPWORDS, ts.BPE_ISH_PATTERN).orderBy("doc_id")
 
 
 SQL_TEXT_QUALITY = f"""
@@ -274,7 +277,7 @@ FROM sizes
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
     return (dd.simhash_table(docs, "doc_id")
             .select(F.col("_id").alias("doc_id"), F.col("_sh").alias("simhash"))
             .orderBy("doc_id"))
@@ -488,7 +491,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 7 != 3)
     batch = docs.filter(F.col("doc_id") % 7 == 3).unionByName(
         docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 7 != 3))
@@ -587,7 +590,7 @@ FROM raw ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id", "embedding")
     return cosine_topk(emb, "vec_id", "embedding", KNN_QUERIES, KNN_K) \
         .orderBy("query_id", "rank")
 
@@ -628,7 +631,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the cosine ranking value-for-value."""
     from ..operators.similarity import lsh_ann_topk_multiprobe
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id", "embedding")
     return lsh_ann_topk_multiprobe(
         emb, "vec_id", "embedding", KNN_QUERIES, dim=ANN_DIM, k=ANN_K,
         n_planes=ANN_PLANES, n_tables=ANN_TABLES, probe_flips=1,
@@ -723,7 +726,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_int_centroids,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings", "vec_id", "embedding")
     memo_key = (sf_dir, IVF_CENTROIDS, KM_ITERS)
     qc = _KMEANS_MEMO.get(memo_key)
     if qc is None:
@@ -1020,7 +1023,7 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_nearest,
     )
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     out_schema = ("doc_id BIGINT, fmt STRING, width BIGINT, height BIGINT, "
                   "blob_bytes BIGINT, px_sum BIGINT, chan0_sum BIGINT, "
                   "resized_sum BIGINT")
@@ -1111,26 +1114,49 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranges — the same pattern TEXT runs in Spark's Java regex and
     DuckDB's RE2 (no \\u escapes, no shorthand classes), whole-stage
     codegen, one map-only pass."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = (
-        "text || CASE WHEN doc_id % 3 = 0 THEN ' привет мир' "
-        "WHEN doc_id % 4 = 1 THEN ' 你好世界' ELSE '' END")
-    docs = docs.withColumn("_t", F.expr(planted))
-    counts = {
-        "latin_chars": "[a-zA-Z]",
-        "cyrillic_chars": "[а-яА-Я]",
-        "cjk_chars": "[一-鿿]",
-    }
-    for name, cls in counts.items():
-        docs = docs.withColumn(
-            name, F.expr(f"CAST(regexp_count(_t, '{cls}') AS BIGINT)"))
-    dominant = (
-        "CASE WHEN cyrillic_chars > 0 AND cyrillic_chars >= cjk_chars "
-        "THEN 'cyrillic' WHEN cjk_chars > 0 THEN 'cjk' "
-        "WHEN latin_chars > 0 THEN 'latin' ELSE 'none' END")
-    return docs.select(
-        "doc_id", "latin_chars", "cyrillic_chars", "cjk_chars",
-        F.expr(dominant).alias("dominant_script")).orderBy("doc_id")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
+
+    # r6: one Arrow pass — the three regexp_count calls ran Java regex
+    # over the full text three times; RE2 (pyarrow count_substring_regex)
+    # counts the same literal character classes (the pattern set is
+    # restricted to constructs with identical Java/RE2 semantics, the
+    # property the DuckDB oracle already relies on). Guide §4.2.
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            suffix = np.where(
+                ids_np % 3 == 0, " привет мир",
+                np.where(ids_np % 4 == 1, " 你好世界", ""))
+            t = pc.binary_join_element_wise(
+                batch.column(1), pa.array(suffix), "")
+            lat = pc.count_substring_regex(t, "[a-zA-Z]") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cyr = pc.count_substring_regex(t, "[а-яА-Я]") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cjk = pc.count_substring_regex(t, "[一-鿿]") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            dom = np.where(
+                (cyr > 0) & (cyr >= cjk), "cyrillic",
+                np.where(cjk > 0, "cjk",
+                         np.where(lat > 0, "latin", "none")))
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": ids,
+                "latin_chars": pa.array(lat),
+                "cyrillic_chars": pa.array(cyr),
+                "cjk_chars": pa.array(cjk),
+                "dominant_script": pa.array(dom),
+            })
+
+    return docs.mapInArrow(
+        kernel,
+        "doc_id LONG, latin_chars LONG, cyrillic_chars LONG, "
+        "cjk_chars LONG, dominant_script STRING",
+    ).orderBy("doc_id")
 
 
 def _sql_script_mix() -> str:
@@ -1329,7 +1355,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..memtune import tune_allocator
     from ..multimodal.binary_ops import decode_wav, encode_wav
 
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = load_spread(spark, sf_dir, "documents", "doc_id")
     out_schema = ("doc_id BIGINT, n_frames BIGINT, channels BIGINT, "
                   "sample_rate BIGINT, duration_us BIGINT, blob_bytes BIGINT, "
                   "sum_abs BIGINT, peak BIGINT")
@@ -1648,14 +1674,17 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's repeats before the shuffle, which then carries one row per
     (doc, DISTINCT token)); a second bounded groupBy(tok) folds tf/df.
     No countDistinct and no distinct-universe shuffle stage."""
+    from ..functions.text_arrow import ngram_tf_rows_arrow
+
     docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
-    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    v = dt.groupBy("tok").agg(
-        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
+    # r6: the doc-local (doc, DISTINCT token, tf) stream comes from one
+    # Arrow pass (functions/text_arrow), so the explode + corpus-wide
+    # groupBy(doc_id, tok) exchange disappears — ONE bounded groupBy(tok)
+    # is the only shuffle left (guide §2.4/§4.2).
+    dt = ngram_tf_rows_arrow(
+        load_spread(spark, sf_dir, "documents", "doc_id", "text"), 1)
+    v = dt.groupBy(F.col("ngram").alias("tok")).agg(
+        F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("df"))
     # the df cut stays IN the plan (broadcast one-row count, like the
     # oracle's n CTE) — no eager driver-side count() job per invocation
     n = docs.agg(F.count(F.lit(1)).alias("_n"))
@@ -1712,7 +1741,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Beyond-reference training-data operator (the reference has no
     document scoring); the tf/df rails match ``q_vocab_stats``."""
-    return tfidf_top_terms_df(load(spark, sf_dir, "documents"))
+    return tfidf_top_terms_df(
+        load_spread(spark, sf_dir, "documents", "doc_id", "text"))
 
 
 def _with_tf_pairs(docs: DataFrame, arr_expr) -> DataFrame:
@@ -1763,20 +1793,20 @@ def tfidf_top_terms_df(docs: DataFrame) -> DataFrame:
     shuffle fewer on paper — was measured 20x SLOWER: WindowExec
     buffers per partition-key group, and millions of tiny token groups
     drown it in per-group overhead. Rejected.)"""
-    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
-    # explode_OUTER, then drop the null rows of token-less docs: a plain
-    # explode triggers InferFiltersFromGenerate, whose size(_pairs) > 0
-    # filter is pushed below the Project and INLINES the whole HOF kernel
-    # into an interpreted Filter expression (sort_array re-evaluated per
-    # lambda element — measured 100x slower: 180 s vs 1.8 s for the same
-    # 50k-doc kernel). The null check on the generator OUTPUT cannot sink
-    # below the Generate, so the kernel stays a once-per-row Project.
+    from ..functions.text_arrow import ngram_tf_rows_arrow
+
+    # doc-local (doc, DISTINCT token, tf) stream in one Arrow pass
+    # (functions/text_arrow; replaces the interpreted-HOF _with_tf_pairs
+    # kernel — guide §4.2). localCheckpoint: the stream feeds BOTH the df
+    # aggregate and the tf side of the join, and Catalyst does not CSE
+    # across join children — without it the tokenize+count pass runs
+    # twice (measured; the materialized stream is one row per distinct
+    # (doc, token), far smaller than the corpus).
     dt = (
-        _with_tf_pairs(docs.select("doc_id", "text"), toks_arr)
-        .select("doc_id", F.explode_outer("_pairs").alias("_p"))
-        .filter(F.col("_p").isNotNull())
-        .select("doc_id", F.col("_p.tok").alias("tok"),
-                F.col("_p.tf").alias("tf"))
+        ngram_tf_rows_arrow(docs.select("doc_id", "text"), 1)
+        .select(F.col("_id").alias("doc_id"),
+                F.col("ngram").alias("tok"), "tf")
+        .localCheckpoint()
     )
     df_tbl = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("_n"))
@@ -1838,7 +1868,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     No explode, no shuffle, no join anywhere in the operator; the only
     exchange is this wrapper's presentation-order sort.
     Beyond-reference training-data operator."""
-    return doc_repetition_df(load(spark, sf_dir, "documents")) \
+    return doc_repetition_df(
+        load_spread(spark, sf_dir, "documents", "doc_id", "text")) \
         .orderBy("doc_id")
 
 
@@ -1846,53 +1877,16 @@ def doc_repetition_df(docs: DataFrame) -> DataFrame:
     """Core of :func:`q_doc_repetition` over any ``(doc_id, text)``
     DataFrame (scale benches drive it on synthetic corpora).
 
-    Plan shape: MAP-ONLY. Every signal (token counts, distincts, top
-    token tf, top bigram tf) is computed doc-locally from the sorted
-    token/bigram arrays via ``_with_tf_pairs`` — no explode, no
-    (doc, token) shuffle, no two-branch doc_id join (the r4 plan
-    tokenized the corpus twice and joined two corpus-wide aggregates;
-    its measured 0.61 scaling efficiency was that shuffle machinery,
-    not the arithmetic). A map-only operator scales linearly by
-    construction — output rows = input rows, partition-local."""
-    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
-    uni = _with_tf_pairs(docs.select("doc_id", "text"), toks_arr)
-    uni = (
-        uni.select(
-            "doc_id",
-            F.size("_l").cast("long").alias("n_tokens"),
-            F.size("_pairs").cast("long").alias("n_distinct"),
-            F.expr("CASE WHEN size(_pairs) = 0 THEN CAST(0 AS BIGINT) "
-                   "ELSE array_max(transform(_pairs, p -> p.tf)) END")
-            .alias("top_tok_tf"),
-            F.col("_l").alias("l"),
-        )
-        # docs with zero tokens drop out, matching the exploded/grouped
-        # form (and the oracle's unnest) which never emits rows for them
-        .filter(F.col("n_tokens") > 0)
-    )
-    bigrams = F.expr(
-        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
-        "         slice(l, 2, greatest(size(l) - 1, 0)),"
-        "         (a, b) -> concat(a, ' ', b))")
-    big = _with_tf_pairs(uni, bigrams)
-    return (
-        big.select(
-            "doc_id", "n_tokens", "n_distinct", "top_tok_tf",
-            F.size("_l").cast("long").alias("n_bigrams"),
-            F.expr("CASE WHEN size(_pairs) = 0 THEN CAST(0 AS BIGINT) "
-                   "ELSE array_max(transform(_pairs, p -> p.tf)) END")
-            .alias("top_bigram_tf"),
-            F.expr(f"(n_distinct * CAST({REP_SCALE} AS BIGINT))"
-                   " div n_tokens").alias("distinct_ppm"),
-            F.expr(f"(top_tok_tf * CAST({REP_SCALE} AS BIGINT))"
-                   " div n_tokens").alias("top_tok_ppm"),
-            F.expr(f"CASE WHEN size(_l) = 0 THEN CAST(0 AS BIGINT)"
-                   f" ELSE (CASE WHEN size(_pairs) = 0 THEN CAST(0 AS BIGINT)"
-                   " ELSE array_max(transform(_pairs, p -> p.tf)) END"
-                   f" * CAST({REP_SCALE} AS BIGINT))"
-                   " div size(_l) END").alias("top_bigram_ppm"),
-        )
-    )
+    Plan shape: MAP-ONLY, one Arrow pass (functions/text_arrow) — the
+    r5 form computed the same doc-local signals with Catalyst
+    higher-order functions, whose lambdas are evaluated interpreted
+    per array element; measured 12.8 s -> ~1 s at sf1.0 (guide §4.2:
+    vectorized native code inside mapInArrow beats interpreted JVM
+    expression chains). Output rows = input rows with >= 1 token,
+    partition-local, zero shuffle — scale shape unchanged."""
+    from ..functions.text_arrow import doc_repetition_stats_arrow
+
+    return doc_repetition_stats_arrow(docs.select("doc_id", "text"))
 
 
 def _sql_doc_repetition() -> str:
@@ -1940,26 +1934,14 @@ FAMILIARITY_BOTTOM = 20
 
 def _doc_bigram_tf(docs: DataFrame) -> DataFrame:
     """(doc_id, bg, tf): doc-local exact bigram term frequencies.
-    Same zero-shuffle shape as doc_repetition — bigrams via slice+zip_with,
-    per-doc tf via the sorted-run trick (_with_tf_pairs) — so the only
-    exploded rows are one per DISTINCT bigram per doc."""
-    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
-    base = docs.select("doc_id", toks_arr.alias("l"))
-    bigrams = F.expr(
-        "zip_with(slice(l, 1, greatest(size(l) - 1, 0)),"
-        "         slice(l, 2, greatest(size(l) - 1, 0)),"
-        "         (a, b) -> concat(a, ' ', b))")
-    pairs = _with_tf_pairs(base, bigrams)
-    # explode_outer + isNotNull on the generator OUTPUT — a plain explode
-    # here lets InferFiltersFromGenerate inline the whole sorted-run kernel
-    # into an interpreted size()>0 Filter (the 100x trap documented at the
-    # tfidf site above; re-measured here: the 50k-page bench corpus wedged
-    # on single-task stages until this was applied)
-    return (
-        pairs.select("doc_id", F.explode_outer("_pairs").alias("p"))
-        .filter(F.col("p").isNotNull())
-        .select("doc_id", F.col("p.tok").alias("bg"), F.col("p.tf").alias("tf"))
-    )
+    One Arrow pass (functions/text_arrow, k=2) — zero shuffle, one row
+    per DISTINCT bigram per doc, identical values to the r5 HOF
+    slice+zip_with kernel it replaces (guide §4.2: the HOF lambdas were
+    interpreted per element and dominated the bigram queries' wall)."""
+    from ..functions.text_arrow import ngram_tf_rows_arrow
+
+    return ngram_tf_rows_arrow(docs.select("doc_id", "text"), 2).select(
+        F.col("_id").alias("doc_id"), F.col("ngram").alias("bg"), "tf")
 
 
 def q_collocations_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,15 +1958,19 @@ def q_collocations_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set against the unigram counts. The candidate side after
     the cutoff is orders of magnitude smaller than the corpus, and the
     final top-K is TakeOrderedAndProject (no global sort)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..functions.text_arrow import ngram_tf_rows_arrow
+
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
     bg_counts = _doc_bigram_tf(docs).groupBy("bg") \
         .agg(F.sum("tf").alias("c12")) \
         .filter(F.col("c12") >= COLL_MIN_COUNT)
-    toks_arr = F.filter(F.split("text", " "), lambda x: x != "")
-    uni = _with_tf_pairs(docs.select("doc_id", "text"), toks_arr) \
-        .select(F.explode_outer("_pairs").alias("p")) \
-        .filter(F.col("p").isNotNull()) \
-        .groupBy(F.col("p.tok").alias("tok")).agg(F.sum("p.tf").alias("c"))
+    # unigram totals via the Arrow tf stream; localCheckpoint because the
+    # (tiny) aggregate feeds BOTH the w1 and w2 join branches — without it
+    # Catalyst re-runs the whole tokenize pass per branch (no CSE across
+    # join children)
+    uni = ngram_tf_rows_arrow(docs, 1) \
+        .groupBy(F.col("ngram").alias("tok")).agg(F.sum("tf").alias("c")) \
+        .localCheckpoint()
     cand = bg_counts.withColumn("w1", F.expr("split(bg, ' ')[0]")) \
         .withColumn("w2", F.expr("split(bg, ' ')[1]"))
     scored = (
@@ -2032,8 +2018,11 @@ def q_doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bg, tf) against (bg, corpus_c) co-partitioned on bg (AQE handles
     bigram skew), a per-doc sum, and a TakeOrderedAndProject for the
     bounded answer — no global sort, nothing driver-side."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    doc_bg = _doc_bigram_tf(docs)
+    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
+    # localCheckpoint: the stream feeds the corpus-count aggregate AND the
+    # per-doc join side; without it the Arrow tokenize pass runs twice
+    # (no CSE across join children)
+    doc_bg = _doc_bigram_tf(docs).localCheckpoint()
     corpus = doc_bg.groupBy("bg").agg(F.sum("tf").alias("corpus_c"))
     per_doc = (
         doc_bg.join(corpus, "bg")
@@ -2076,7 +2065,8 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it with its native ASOF LEFT JOIN."""
     from ..operators.asof import asof_join
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events",
+                     "event_id", "user_id", "ts", "event_type", "value")
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase") \
@@ -2169,7 +2159,8 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions), followed by one partial/final groupBy(doc_id). Docs with
     no shingles (< K tokens) stay in the output with zero overlap via the
     doc-table left join."""
-    return benchmark_contamination_df(load(spark, sf_dir, "documents"))
+    return benchmark_contamination_df(
+        load_spread(spark, sf_dir, "documents", "doc_id", "text"))
 
 
 def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
@@ -2180,17 +2171,16 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     counts summed and fanned back out to every copy (and would diverge
     from the per-row DuckDB oracle); run exact dedup first if ids can
     repeat."""
-    toks = F.expr("filter(split(coalesce(text, ''), ' '), x -> x <> '')")
+    from ..functions.text_arrow import ngram_tf_rows_arrow
+
     k, mod = CONTAM_SHINGLE_K, CONTAM_BENCH_MOD
-    # Spark's sequence(1, 0) counts DOWN ([1, 0], default step -1) where
-    # DuckDB's generate_series(1, 0) is empty — guard short docs explicitly
-    sh = F.expr(
-        f"CASE WHEN size(_l) >= {k} THEN"
-        f" array_distinct(transform(sequence(1, size(_l) - {k - 1}),"
-        f" i -> concat_ws(' ', slice(_l, i, {k}))))"
-        f" ELSE CAST(array() AS array<string>) END")
-    base = docs.select("doc_id", toks.alias("_l")).select(
-        "doc_id", sh.alias("_sh"))
+    # ONE Arrow shingling pass (functions/text_arrow, k-gram rows already
+    # doc-distinct — replaces the interpreted-HOF transform/slice kernel,
+    # guide §4.2), localCheckpoint'ed because the stream feeds BOTH the
+    # benchmark-set branch and the corpus-scoring branch (no CSE across
+    # join children — without it the corpus is shingled twice).
+    st = ngram_tf_rows_arrow(docs.select("doc_id", "text"), k) \
+        .localCheckpoint()
     # benchmark relation keyed by xxhash64(shingle): the broadcast hash
     # table is int64-keyed (8-byte keys, int64 probe hashing) instead of
     # string-keyed — the r4 bench showed the 560k-entry STRING relation
@@ -2198,30 +2188,18 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     # (h, array<shingle>) keeps it EXACT: a probe matches the hash first,
     # then confirms the string via array_contains, so an h collision
     # (corpus-vs-bench or bench-internal) can never flip a count.
-    # explode_OUTER + null-drop everywhere in this query: a plain explode
-    # triggers InferFiltersFromGenerate, whose size(_sh) > 0 predicate is
-    # pushed below the Project and inlines the WHOLE shingling expression
-    # into the filter — every doc would be shingled TWICE per branch
-    # (observed as a ~610-char Filter node in the optimized plan). The
-    # null check on the generator output cannot sink below the Generate.
     bench = (
-        base.filter(F.col("doc_id") % mod == 0)
-        .select(F.explode_outer("_sh").alias("_bsh"))
-        .filter(F.col("_bsh").isNotNull()).distinct()
+        st.filter(F.col("_id") % mod == 0)
+        .select(F.col("ngram").alias("_bsh")).distinct()
         .groupBy(F.xxhash64("_bsh").alias("_h"))
         .agg(F.collect_list("_bsh").alias("_bench_sh"))
     )
-    # ONE shingling pass over the corpus: n_shingles and n_overlap fold
-    # from the SAME exploded stream (count + matched-count in one agg).
-    # Catalyst does not CSE a subplan shared across join children, so the
-    # earlier two-branch form (size(_sh) branch + explode branch) shingled
-    # the corpus TWICE — measured at 500k docs: 30.6 s -> this form keeps
-    # one pass (the zero-shingle docs come back via the cheap doc_id-only
-    # left join, which never touches text).
+    # n_shingles and n_overlap fold from the SAME doc-distinct stream
+    # (count + matched-count in one agg); the zero-shingle docs come back
+    # via the cheap doc_id-only left join, which never touches text.
     ex = (
-        base.filter(F.col("doc_id") % mod != 0)
-        .select("doc_id", F.explode_outer("_sh").alias("shingle"))
-        .filter(F.col("shingle").isNotNull())
+        st.filter(F.col("_id") % mod != 0)
+        .select(F.col("_id").alias("doc_id"), F.col("ngram").alias("shingle"))
         .withColumn("_h", F.xxhash64("shingle"))
     )
     hit = F.when(
@@ -2290,7 +2268,8 @@ def q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     would catch."""
     from ..operators.interval_join import interval_join
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events",
+                     "event_id", "user_id", "ts", "event_type")
     p = ev.filter(F.col("event_type") == "purchase") \
         .select("event_id", "user_id", "ts")
     c = ev.filter(F.col("event_type") == "click") \
@@ -2383,7 +2362,8 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-cardinality, NOT broadcastable at scale — both sides shuffle
     once on the same key) and one map-side-combinable count-distinct.
     Output bounded by days x offsets, never by users."""
-    ev = load(spark, sf_dir, "events").filter(
+    ev = load_spread(spark, sf_dir, "events",
+                     "user_id", "ts", "event_type").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     day = F.col("ts").cast("date")
     cohorts = (ev.filter(F.col("event_type") == "signup")
@@ -2469,8 +2449,8 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same per-group memory bound as q_event_paths (largest (user, type)
     stream buffered once; switch to the LAG window for bot-scale
     groups — BENCH/events_analytics_scale.json measures both)."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts").filter(
+    ev = load_spread(spark, sf_dir, "events",
+                     "event_id", "user_id", "event_type", "ts").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     dup = ev.filter(F.col("event_id") % 7 == 0).select(
         (F.col("event_id") + DEBOUNCE_OFFSET).alias("event_id"),
@@ -2529,7 +2509,8 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     firing millions of events into one session needs the windowed LAG
     formulation (one sort-exchange) instead of collect_list — same
     values, traded for the extra shuffle."""
-    ev = load(spark, sf_dir, "events").filter(
+    ev = load_spread(spark, sf_dir, "events",
+                     "event_id", "user_id", "ts", "event_type").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     seqs = (ev.groupBy("user_id", F.col("ts").cast("date").alias("d"))
             .agg(F.array_sort(
@@ -2580,7 +2561,8 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms, one answer."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events",
+                     "event_id", "user_id", "ts", "event_type")
     s = (
         ev.groupBy(
             "user_id",
@@ -2631,7 +2613,8 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of suffix-array substring dedup — see
     ``operators.dedup.duplicate_span_stats`` for the two-pass plan shape
     and its 100-TB story)."""
-    return dd.duplicate_span_stats(load(spark, sf_dir, "documents")) \
+    return dd.duplicate_span_stats(
+        load_spread(spark, sf_dir, "documents", "doc_id", "text")) \
         .orderBy("doc_id")
 
 

@@ -19,3 +19,55 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Upper bound on the table size the parallelism floor may shuffle: past
+# this the scan produces plenty of splits anyway and a round-robin
+# repartition would move real data volume for nothing.
+SPREAD_MAX_BYTES = 4 << 30
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    import glob as _glob
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if _os.path.isdir(path):
+        return sum(_os.path.getsize(p)
+                   for p in _glob.glob(f"{path}/*.parquet"))
+    try:
+        return _os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str,
+                *cols: str) -> DataFrame:
+    """``load`` + a scale-adaptive parallelism floor (guide §2/§6).
+
+    The driver fixtures are single-file, single-row-group parquet (5-130
+    MB), so under any ``maxPartitionBytes`` >= the file size the scan
+    yields ONE split and every doc-local kernel downstream runs on one
+    core of the ``local[32]`` session. When the file layout would yield
+    fewer splits than the session has cores (and the table is small
+    enough that moving it once is trivial), round-robin repartition to
+    the default parallelism right after the narrow column select — the
+    shuffled volume is bounded by the condition itself, and at
+    production scale (many splits) the condition is false and the plan
+    is untouched, so this is a floor, not a tuned constant."""
+    df = load(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    size = _table_bytes(sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes") \
+            .strip().lower().removesuffix("b")
+        shift = {"k": 10, "m": 20, "g": 30, "t": 40}.get(raw[-1:], 0)
+        max_split = int(raw[:-1] if shift else raw) << shift
+    except (ValueError, AttributeError, IndexError):
+        max_split = 128 << 20
+    est_splits = max(1, -(-size // max(max_split, 1)))
+    if est_splits < cores and size <= SPREAD_MAX_BYTES:
+        df = df.repartition(cores)
+    return df

@@ -353,22 +353,21 @@ def test_weighted_sample_plan_is_take_ordered_no_sort(spark, sf_dir):
 
 
 def test_bigram_tf_kernel_not_inlined_into_filter(spark, pages_path):
-    """_doc_bigram_tf must keep the sorted-run tf kernel a once-per-row
-    Project: a plain explode over the HOF-built _pairs array lets
-    InferFiltersFromGenerate clone the whole kernel (sort_array + nested
-    lambdas) into an interpreted size()>0 Filter, re-evaluated per row —
-    the measured-100x trap. The explode_outer + isNotNull shape pins the
-    null check on the generator OUTPUT where the kernel cannot sink."""
+    """_doc_bigram_tf (r6: one Arrow pass, functions/text_arrow) must stay
+    a single map-only MapInArrow over the narrow (id, text) projection:
+    no Generate/explode, no interpreted HOF kernel (sort_array lambdas),
+    no exchange before the kernel — the doc-local tf stream never
+    shuffles."""
     from parallel_count_min_sketch_spark.plans.textdata_queries import (
         _doc_bigram_tf,
     )
 
     docs = spark.read.parquet(pages_path).selectExpr("url AS doc_id", "text")
     plan = _plan(_doc_bigram_tf(docs), execute=True)
-    for line in plan.splitlines():
-        if "Filter" in line:
-            assert "sort_array(" not in line, f"kernel inlined into Filter:\n{line[:400]}"
-    assert "GenerateExec" in plan or "Generate explode" in plan or "explode" in plan
+    assert plan.count("MapInArrow") == 1, plan[:600]
+    assert "sort_array(" not in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan, "doc-local tf stream must not shuffle"
 
 
 def test_incremental_matches_streams_index_without_shuffle(spark, tmp_path):
