@@ -146,6 +146,33 @@ def sketch_rollup_range(buckets_df: DataFrame, lo: str, hi: str,
     return merge_sketch_partials(sel, from_bytes)
 
 
+def rollup_range_collect(buckets_df: DataFrame, lo: str, hi: str,
+                         from_bytes: Callable):
+    """ONE-job range read of a bucket table: collect the covered
+    ``(bucket, sketch)`` rows (bounded by the day span — KB-sized blobs,
+    the store regime's whole point) and fold them driver-side in bucket
+    order. Returns ``(rows, sketch_or_None)``.
+
+    r6 (guide §1.2): the treeReduce path (`merge_*_partials`) costs an
+    ``isEmpty()`` probe plus an ``.rdd`` conversion plus a multi-stage
+    reduce — three-plus jobs to merge a handful of kilobyte blobs. For
+    day-span ranges the driver fold is the same ``merge()`` calls in a
+    deterministic (bucket-sorted) order: bit-identical for sum-merge
+    (CMS) and idempotent (HLL/Bloom/KMV) kernels; for order-sensitive
+    summaries (MG) the merged BYTES may differ from a tree order but
+    every published invariant (coverage, decrement bound) holds for any
+    merge order — the same caveat sketch_time_buckets already documents.
+    The sliding-window HLL query has used this exact pattern since r5."""
+    rows = buckets_df.filter(
+        (F.col("bucket") >= F.lit(lo)) & (F.col("bucket") <= F.lit(hi))
+    ).select("bucket", "sketch").collect()
+    sk = None
+    for r in sorted(rows, key=lambda r: r["bucket"]):
+        o = from_bytes(bytes(r["sketch"]))
+        sk = o if sk is None else sk.merge(o)
+    return rows, sk
+
+
 def write_rollup(buckets_df: DataFrame, path: str, *,
                  mode: str = "overwrite") -> None:
     """Persist a bucket-sketch table as parquet PARTITIONED BY bucket —

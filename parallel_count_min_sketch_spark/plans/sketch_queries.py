@@ -275,7 +275,13 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cms_queries import ROLLUP_HI, ROLLUP_LO
     from ..operators.rollup import sketch_time_buckets
 
-    ev = load_spread(spark, sf_dir, "events")
+    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    # r6: every window day lies in [ROLLUP_LO, ROLLUP_HI], so only that
+    # span feeds the build AND the exact twin (d >= win_day-6 >= LO);
+    # day sketches are independent — in-range state bit-identical
+    ev = ev.filter(
+        (F.col("ts").cast("date") >= F.lit(ROLLUP_LO).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(ROLLUP_HI).cast("date")))
     buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_hll,
                                   _hll_from_bytes, pre_aggregate=True)
     lo_d = _dt.date.fromisoformat(ROLLUP_LO)
@@ -937,8 +943,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sketches.kmv import KMV_HASH_SPACE
 
     li = load_spread(spark, sf_dir, "lineitem", "l_partkey")
-    sk = build_sketch(li, "l_partkey", _mk_kmv, _kmv_from_bytes)
-    exact = li.select("l_partkey").distinct().count()
+    # r6: distinct-first — KMV state is duplicate-invariant (bottom-k of
+    # DISTINCT hashes), so the sketch over the distinct relation is
+    # bit-identical to the per-occurrence build; the localCheckpoint'ed
+    # distinct then also serves the exact count, collapsing two full
+    # scans into one shuffle (guide §1.2/§2.4)
+    d = li.select("l_partkey").distinct().localCheckpoint()
+    sk = build_sketch(d, "l_partkey", _mk_kmv, _kmv_from_bytes)
+    exact = d.count()
     n, theta, _est = sk.estimate_portable()
     est_floor = n if n < sk.k else ((sk.k - 1) * KMV_HASH_SPACE) // theta
     within = abs(est_floor - exact) * 4 <= exact  # 25% bound, integer math
@@ -1077,6 +1089,11 @@ def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setops import kmv_pair_estimates
 
     ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    # r6: only the retention span feeds the build (day sketches are
+    # independent — bit-identical in-range state, dead work dropped)
+    ev = ev.filter(
+        (F.col("ts").cast("date") >= F.lit(RET_LO).cast("date"))
+        & (F.col("ts").cast("date") <= F.lit(RET_HI).cast("date")))
     # distinct-first: bit-identical for KMV ('invariant'), fewer Arrow rows
     buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_kmv_ret,
                                   _kmv_from_bytes, pre_aggregate=True)

@@ -2442,13 +2442,15 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, type) (adjacent-gap debounce, the at-least-once-delivery
     scrub). The fixture's events are day-sparse, so duplicate deliveries
     are PLANTED deterministically (event_id % 7 = 0 re-delivered 3 s
-    later under event_id + offset). Doc-local shape: one groupBy per
-    (user, type) with an array_sort'ed (ts, event_id) struct list, the
-    keep decision in a codegen transform over adjacent pairs — no
-    corpus-wide window; the oracle states the same rule with LAG.
-    Same per-group memory bound as q_event_paths (largest (user, type)
-    stream buffered once; switch to the LAG window for bot-scale
-    groups — BENCH/events_analytics_scale.json measures both)."""
+    later under event_id + offset). r6 shape: the LAG window the oracle
+    itself states — one shuffle+sort per (user, type), the keep
+    predicate a plain codegen comparison. (The r5 collect_list +
+    transform form kept the same values but evaluated the adjacent-pair
+    lambda INTERPRETED per element — measured 5.8 -> ~2.5 s at sf1.0;
+    the window also removes the per-group buffering bound, so the
+    bot-scale caveat in BENCH/events_analytics_scale.json goes away.)"""
+    from pyspark.sql import Window
+
     ev = load_spread(spark, sf_dir, "events",
                      "event_id", "user_id", "event_type", "ts").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -2457,15 +2459,14 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type",
         (F.col("ts") + F.expr("INTERVAL 3 SECONDS")).alias("ts"))
     allv = ev.unionByName(dup)
-    seqs = (allv.groupBy("user_id", "event_type")
-            .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id")))
-                 .alias("s")))
-    kept = F.expr(
-        "transform(sequence(1, size(s)), i -> CASE WHEN i = 1 OR "
-        f"timestampdiff(MICROSECOND, s[i-2].ts, s[i-1].ts) > {DEBOUNCE_US} "
-        "THEN s[i-1].event_id END)")
-    return (seqs.select(F.explode_outer(kept).alias("event_id"))
-            .filter(F.col("event_id").isNotNull())
+    w = Window.partitionBy("user_id", "event_type") \
+        .orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (allv.withColumn("_prev", prev)
+            .filter(F.col("_prev").isNull()
+                    | (F.expr(f"timestampdiff(MICROSECOND, _prev, ts)"
+                              f" > {DEBOUNCE_US}")))
+            .select("event_id")
             .orderBy("event_id"))
 
 
