@@ -256,7 +256,7 @@ def q_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted build shuffles at most depth*width rows per partition, probe
     side reuses the broadcast point_query_join, final top-K is
     TakeOrderedAndProject."""
-    ev = load_spread(spark, sf_dir, "events", "user_id", "ts").select(
+    ev = load(spark, sf_dir, "events").select(
         F.col("user_id").cast("bigint").alias("uid"),
         F.to_date("ts").alias("day"))
     ref = ev.agg(F.max("day").alias("ref_day"))
@@ -668,7 +668,7 @@ def q_cms_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import cms_time_buckets, rollup_range_collect
     from ..sketches.cms import CountMinSketch
 
-    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
     # r6: only the queried day range feeds the build — day sketches are
     # independent (groupBy day), so the in-range bucket sketches are
     # bit-identical and the out-of-range ones were dead work for this
@@ -845,7 +845,7 @@ def q_rollup_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import cms_time_buckets, rollup_range_collect
     from ..sketches.cms import CountMinSketch
 
-    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
     # r6: only the two compared days feed the build (day sketches are
     # independent — identical in-range sketches, 2/30 of the day work),
     # and BOTH day blobs come back in ONE collect folded driver-side
@@ -947,7 +947,7 @@ def q_mg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import rollup_range_collect, sketch_time_buckets
     from ..sketches.misra_gries import MisraGries
 
-    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
     # r6: only the queried window feeds the build (day summaries are
     # independent; the recount below already filters to the window)
     ev = ev.filter(

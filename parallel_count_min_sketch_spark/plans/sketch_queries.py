@@ -275,7 +275,7 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .cms_queries import ROLLUP_HI, ROLLUP_LO
     from ..operators.rollup import sketch_time_buckets
 
-    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
     # r6: every window day lies in [ROLLUP_LO, ROLLUP_HI], so only that
     # span feeds the build AND the exact twin (d >= win_day-6 >= LO);
     # day sketches are independent — in-range state bit-identical
@@ -942,7 +942,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator engages (62-bit hash space — see sketches/kmv.py) — both regimes flow through the same columns."""
     from ..sketches.kmv import KMV_HASH_SPACE
 
-    li = load_spread(spark, sf_dir, "lineitem", "l_partkey")
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
     # r6: distinct-first — KMV state is duplicate-invariant (bottom-k of
     # DISTINCT hashes), so the sketch over the distinct relation is
     # bit-identical to the per-occurrence build; the localCheckpoint'ed
@@ -995,8 +995,7 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setops import kmv_pair_estimates
     from ..operators.sketch_agg import sketch_grouped
 
-    orders = load_spread(spark, sf_dir, "orders",
-                         "o_orderstatus", "o_custkey")
+    orders = load(spark, sf_dir, "orders")
     grouped = sketch_grouped(orders, "o_orderstatus", "o_custkey",
                              _mk_kmv_set, _kmv_from_bytes)
     return kmv_pair_estimates(grouped).orderBy("group_a", "group_b")
@@ -1088,7 +1087,7 @@ def q_kmv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rollup import sketch_time_buckets
     from ..operators.setops import kmv_pair_estimates
 
-    ev = load_spread(spark, sf_dir, "events", "ts", "user_id")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
     # r6: only the retention span feeds the build (day sketches are
     # independent — bit-identical in-range state, dead work dropped)
     ev = ev.filter(

@@ -2065,8 +2065,7 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it with its native ASOF LEFT JOIN."""
     from ..operators.asof import asof_join
 
-    ev = load_spread(spark, sf_dir, "events",
-                     "event_id", "user_id", "ts", "event_type", "value")
+    ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase") \
@@ -2268,8 +2267,7 @@ def q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     would catch."""
     from ..operators.interval_join import interval_join
 
-    ev = load_spread(spark, sf_dir, "events",
-                     "event_id", "user_id", "ts", "event_type")
+    ev = load(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase") \
         .select("event_id", "user_id", "ts")
     c = ev.filter(F.col("event_type") == "click") \
@@ -2362,8 +2360,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-cardinality, NOT broadcastable at scale — both sides shuffle
     once on the same key) and one map-side-combinable count-distinct.
     Output bounded by days x offsets, never by users."""
-    ev = load_spread(spark, sf_dir, "events",
-                     "user_id", "ts", "event_type").filter(
+    ev = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     day = F.col("ts").cast("date")
     cohorts = (ev.filter(F.col("event_type") == "signup")
@@ -2451,8 +2448,8 @@ def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     bot-scale caveat in BENCH/events_analytics_scale.json goes away.)"""
     from pyspark.sql import Window
 
-    ev = load_spread(spark, sf_dir, "events",
-                     "event_id", "user_id", "event_type", "ts").filter(
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull())
     dup = ev.filter(F.col("event_id") % 7 == 0).select(
         (F.col("event_id") + DEBOUNCE_OFFSET).alias("event_id"),
@@ -2562,8 +2559,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms, one answer."""
     from pyspark.sql import Window
 
-    ev = load_spread(spark, sf_dir, "events",
-                     "event_id", "user_id", "ts", "event_type")
+    ev = load(spark, sf_dir, "events")
     s = (
         ev.groupBy(
             "user_id",
