@@ -1797,16 +1797,14 @@ def tfidf_top_terms_df(docs: DataFrame) -> DataFrame:
 
     # doc-local (doc, DISTINCT token, tf) stream in one Arrow pass
     # (functions/text_arrow; replaces the interpreted-HOF _with_tf_pairs
-    # kernel — guide §4.2). localCheckpoint: the stream feeds BOTH the df
-    # aggregate and the tf side of the join, and Catalyst does not CSE
-    # across join children — without it the tokenize+count pass runs
-    # twice (measured; the materialized stream is one row per distinct
-    # (doc, token), far smaller than the corpus).
+    # kernel — guide §4.2). The stream feeds BOTH the df aggregate and
+    # the tf side of the join (no CSE across join children): with the
+    # kernel vectorized and parallel, recomputing it per consumer
+    # measured faster than localCheckpoint materialization.
     dt = (
         ngram_tf_rows_arrow(docs.select("doc_id", "text"), 1)
         .select(F.col("_id").alias("doc_id"),
                 F.col("ngram").alias("tok"), "tf")
-        .localCheckpoint()
     )
     df_tbl = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("_n"))
@@ -1965,9 +1963,9 @@ def q_collocations_dice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("tf").alias("c12")) \
         .filter(F.col("c12") >= COLL_MIN_COUNT)
     # unigram totals via the Arrow tf stream; localCheckpoint because the
-    # (tiny) aggregate feeds BOTH the w1 and w2 join branches — without it
-    # Catalyst re-runs the whole tokenize pass per branch (no CSE across
-    # join children)
+    # TINY aggregate (vocab-bounded) feeds BOTH the w1 and w2 join
+    # branches — without it Catalyst re-runs the whole tokenize pass per
+    # branch (no CSE across join children)
     uni = ngram_tf_rows_arrow(docs, 1) \
         .groupBy(F.col("ngram").alias("tok")).agg(F.sum("tf").alias("c")) \
         .localCheckpoint()
@@ -2019,10 +2017,10 @@ def q_doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram skew), a per-doc sum, and a TakeOrderedAndProject for the
     bounded answer — no global sort, nothing driver-side."""
     docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
-    # localCheckpoint: the stream feeds the corpus-count aggregate AND the
-    # per-doc join side; without it the Arrow tokenize pass runs twice
-    # (no CSE across join children)
-    doc_bg = _doc_bigram_tf(docs).localCheckpoint()
+    # the stream feeds the corpus-count aggregate AND the per-doc join
+    # side; recomputing the (vectorized, parallel) kernel per consumer
+    # measured faster than materializing the stream
+    doc_bg = _doc_bigram_tf(docs)
     corpus = doc_bg.groupBy("bg").agg(F.sum("tf").alias("corpus_c"))
     per_doc = (
         doc_bg.join(corpus, "bg")
@@ -2173,13 +2171,13 @@ def benchmark_contamination_df(docs: DataFrame) -> DataFrame:
     from ..functions.text_arrow import ngram_tf_rows_arrow
 
     k, mod = CONTAM_SHINGLE_K, CONTAM_BENCH_MOD
-    # ONE Arrow shingling pass (functions/text_arrow, k-gram rows already
-    # doc-distinct — replaces the interpreted-HOF transform/slice kernel,
-    # guide §4.2), localCheckpoint'ed because the stream feeds BOTH the
-    # benchmark-set branch and the corpus-scoring branch (no CSE across
-    # join children — without it the corpus is shingled twice).
-    st = ngram_tf_rows_arrow(docs.select("doc_id", "text"), k) \
-        .localCheckpoint()
+    # ONE Arrow shingling pass per consumer (functions/text_arrow,
+    # k-gram rows already doc-distinct — replaces the interpreted-HOF
+    # transform/slice kernel, guide §4.2). The stream feeds the
+    # benchmark-set branch and the corpus-scoring branch; recomputing
+    # the vectorized kernel per branch measured faster than
+    # localCheckpoint materialization of the string stream.
+    st = ngram_tf_rows_arrow(docs.select("doc_id", "text"), k)
     # benchmark relation keyed by xxhash64(shingle): the broadcast hash
     # table is int64-keyed (8-byte keys, int64 probe hashing) instead of
     # string-keyed — the r4 bench showed the 560k-entry STRING relation
