@@ -273,7 +273,7 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from .cms_queries import ROLLUP_HI, ROLLUP_LO
-    from ..operators.rollup import sketch_time_buckets
+    from ..operators.sketch_agg import sketch_grouped
 
     ev = load(spark, sf_dir, "events").select("ts", "user_id")
     # r6: every window day lies in [ROLLUP_LO, ROLLUP_HI], so only that
@@ -282,8 +282,21 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ev.filter(
         (F.col("ts").cast("date") >= F.lit(ROLLUP_LO).cast("date"))
         & (F.col("ts").cast("date") <= F.lit(ROLLUP_HI).cast("date")))
-    buckets = sketch_time_buckets(ev, "ts", "user_id", _mk_hll,
-                                  _hll_from_bytes, pre_aggregate=True)
+    # r6: ONE distinct (day, user) relation serves BOTH the HLL build and
+    # the exact twin — HLL registers are duplicate-invariant, so building
+    # from the distinct pairs is state-identical to the pre_aggregate
+    # (day, user, count) build, and the exact twin's du.distinct() was
+    # the same shuffle run a second time (guide §2.4).
+    pairs = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(F.col("ts").cast("date").cast("string").alias("d"),
+                "user_id")
+        .distinct().localCheckpoint()
+    )
+    buckets = sketch_grouped(
+        pairs.withColumnRenamed("d", "__bucket"), "__bucket", "user_id",
+        _mk_hll, _hll_from_bytes,
+    ).withColumnRenamed("group", "bucket")
     lo_d = _dt.date.fromisoformat(ROLLUP_LO)
     hi_d = _dt.date.fromisoformat(ROLLUP_HI)
     win_days = [lo_d + _dt.timedelta(days=i + SLIDE_WINDOW_DAYS - 1)
@@ -313,9 +326,7 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spine = spark.createDataFrame([(d.isoformat(),) for d in win_days],
                                   "win_day STRING")
-    du = (ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
-          .select(F.col("ts").cast("date").cast("string").alias("d"),
-                  "user_id").distinct())
+    du = pairs
     exact = {
         r["win_day"]: r["n"]
         for r in du.join(
