@@ -77,14 +77,18 @@ def main() -> None:
     names = args.names or list(qs)
 
     if args.mode == "plan":
+        import contextlib
+        import io
+
         os.makedirs(os.path.join(REPO, "plans", "r06"), exist_ok=True)
         for name in names:
             df = qs[name](spark, args.sf)
-            txt = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             path = os.path.join(REPO, "plans", "r06", f"{name}_{args.tag}.txt")
             with open(path, "w") as f:
-                f.write(txt)
+                f.write(buf.getvalue())
             print(f"wrote {path}")
         spark.stop()
         return

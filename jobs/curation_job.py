@@ -98,7 +98,15 @@ def main() -> None:
         comp = connected_components(pairs, "id_a", "id_b")
         drop = comp.filter(F.col("node") != F.col("component")) \
             .select(F.col("node").alias("doc_id"))
-        docs = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        # no broadcast hint: the non-canonical set scales with the
+        # duplicate count (unbounded at 100 TB on a dup-heavy crawl) —
+        # let AQE pick the anti-join strategy from the measured size
+        docs = docs.join(drop, "doc_id", "left_anti")
+    # pin the post-near-dedup relation: the count below, the corpus
+    # write, and the packing totals all consume it, and the near-dedup
+    # pass is the most expensive stage in the job — without this the
+    # uncached lineage re-executes it for each action (~4x the work)
+    docs = docs.persist()
     stats["n_after_near_dedup"] = docs.count()
 
     # 4. deterministic hash sample
@@ -128,6 +136,7 @@ def main() -> None:
     )
     stats["total_tokens"] = int(total_tokens)
     stats["n_packs"] = int(n_packs)
+    docs.unpersist()
     stats["wall_sec"] = round(time.perf_counter() - t0, 2)
     with open(os.path.join(args.output, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

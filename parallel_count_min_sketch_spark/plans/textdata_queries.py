@@ -36,11 +36,16 @@ def _duck_fold_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
     return f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {prods}), (acc, v) -> acc + v)"
 
 
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_dups(spark: SparkSession, sf_dir: str,
+                    spread: bool = True) -> DataFrame:
     # load_spread: parallelism floor for the single-split fixture files —
     # the MinHash/SimHash Arrow kernels downstream otherwise run on one
-    # core (sources/tables.load_spread; guide §2/§6)
-    docs = load_spread(spark, sf_dir, "documents", "doc_id", "text")
+    # core (sources/tables.load_spread; guide §2/§6). ``spread=False``
+    # for consumers whose map side is trivial (md5 digest) — the extra
+    # exchange measured as a net loss there.
+    docs = (load_spread(spark, sf_dir, "documents", "doc_id", "text")
+            if spread else
+            load(spark, sf_dir, "documents").select("doc_id", "text"))
     dups = docs.filter(F.col("doc_id") % 10 == 0) \
         .select((F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text")
     return docs.unionByName(dups)
@@ -162,7 +167,7 @@ FROM documents ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir)
+    docs = _docs_with_dups(spark, sf_dir, spread=False)
     return dd.exact_dup_groups(docs, "doc_id").orderBy("digest")
 
 
