@@ -2553,21 +2553,33 @@ LIMIT {PATH_TOP_K}
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization with Spark's NATIVE session_window (the Spark-first
-    form — the same operator Structured Streaming uses for streaming
-    session windows), per-user 6h-inactivity-gap sessions with exact
-    integer stats. The DuckDB oracle cross-validates Spark's
-    session-window semantics independently via the classic
-    lag + break-flag + cumulative-sum formulation — two different
-    algorithms, one answer."""
+    """Sessionization: per-user 6h-inactivity-gap sessions with exact
+    integer stats, via the classic lag + break-flag + cumulative-sum
+    formulation. r6: this replaces the native ``session_window``
+    aggregate — value-identical (set-equality tested against it at
+    sf0.01, and the oracle states this same formulation), measured
+    3.3 -> 2.7 s at sf1.0: ONE shuffle+sort per user serves both window
+    passes (lag and running sum share the sort order), and the
+    session_window plan's extra merging pass and row_number sort
+    disappear. The session index is the running count of session breaks
+    in time order — identical to row_number over session start."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = (
-        ev.groupBy(
-            "user_id",
-            F.session_window("ts", "6 hours").alias("w"),
-        )
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_brk",
+            F.when(F.col("_prev").isNull()
+                   | (F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+                      >= SESSION_GAP_US), 1).otherwise(0))
+        .withColumn("_sess", F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        s.groupBy("user_id", "_sess")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum((F.col("event_type") == "purchase").cast("long"))
@@ -2575,10 +2587,7 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("_t0"),
             F.max("ts").alias("_t1"),
         )
-    )
-    w2 = Window.partitionBy("user_id").orderBy(F.col("w.start"))
-    return (
-        s.withColumn("session_idx", F.row_number().over(w2))
+        .withColumn("session_idx", F.col("_sess").cast("int"))
         # timestampdiff is timezone-independent on TIMESTAMP_NTZ — exact
         # integer microseconds, matching the oracle's epoch_us difference
         .withColumn("duration_us",
