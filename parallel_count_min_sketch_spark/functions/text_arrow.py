@@ -231,6 +231,55 @@ def ngram_tf_rows_arrow(docs: DataFrame, k: int, id_col: str = "doc_id",
         kernel, f"_id {id_type}, ngram STRING, tf LONG")
 
 
+def quality_gate_cols_arrow(docs: DataFrame, stopwords: tuple,
+                            id_col: str = "doc_id",
+                            text: str = "text") -> DataFrame:
+    """``(id, text, n_tokens, quality_score_bp)`` in one map-only Arrow
+    pass — the quality-gate subset of :func:`text_quality_stats_arrow`
+    with the text column passed through, so a composed cleaning pipeline
+    can filter on the score and keep feeding downstream dedup stages
+    without re-tokenizing (the r5 form evaluated the stopword/aggregate
+    HOF lambdas interpreted, twice per doc across the filter and the
+    final token-mass aggregate)."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    proj = docs.select(F.col(id_col).alias("_id"), F.col(text).alias("_t"))
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        sw = pa.array(list(stopwords))
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            flat_ne, didx, n = _tokenize_batch(texts)
+            n_tokens = np.bincount(didx, minlength=n)
+            sw_mask = pc.is_in(flat_ne, value_set=sw) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            sw_count = np.bincount(didx[sw_mask], minlength=n)
+            denom = np.maximum(n_tokens, 1)
+            sw_bp = np.floor(sw_count * 10000.0 / denom).astype(np.int64)
+            len_ok = (n_tokens >= 30) & (n_tokens <= 500)
+            quality = np.where(len_ok, 5000, 0) + \
+                np.minimum(sw_bp * 5, 5000)
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": ids,
+                "text": texts,
+                "n_tokens": pa.array(n_tokens, mask=null_mask),
+                "quality_score_bp": pa.array(
+                    np.where(null_mask, 5000, quality)),
+            })
+
+    return proj.mapInArrow(
+        kernel,
+        f"doc_id {id_type}, text STRING, n_tokens LONG, "
+        "quality_score_bp LONG",
+    )
+
+
 def text_quality_stats_arrow(docs: DataFrame, stopwords: tuple,
                              bpe_pattern: str,
                              id_col: str = "doc_id",

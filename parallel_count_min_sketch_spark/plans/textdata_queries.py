@@ -1436,15 +1436,23 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     between stages). Exercises that the operator family composes, not just
     that each piece works alone. Every output column is exact integer
     arithmetic the DuckDB oracle replays."""
+    from ..functions.text_arrow import quality_gate_cols_arrow
+
     docs = _docs_with_dups(spark, sf_dir)
-    filtered = docs.filter(
-        ts.quality_score_bp("text") >= PIPELINE_MIN_QUALITY_BP)
+    # r6: the quality gate and the token mass come from ONE Arrow pass
+    # (functions/text_arrow) — the textstats HOF lambdas evaluated
+    # interpreted, and the n_tokens aggregate re-tokenized every kept
+    # doc. lang_id stays a codegen expression (length/replace, no
+    # lambdas). Same one-lazy-plan composition: gate -> dedup -> agg.
+    gated = quality_gate_cols_arrow(docs, ts.STOPWORDS)
+    filtered = gated.filter(
+        F.col("quality_score_bp") >= PIPELINE_MIN_QUALITY_BP)
     kept = dd.dedup_keep_canonical(filtered, "doc_id")
     return (
         kept.groupBy(ts.lang_id_pred("text").alias("pred_lang"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(ts.n_tokens("text")).alias("total_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
             F.min("doc_id").alias("min_doc_id"),
         )
         .orderBy("pred_lang")
