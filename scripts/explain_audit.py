@@ -33,18 +33,18 @@ AUDITED = [
     ("bloom_semijoin_stats", "Bloom semi-join: scan-side Arrow prefilter, broadcast exact backstop join"),
     ("pipeline_clean_corpus", "composed cleaning pipeline: quality predicate pushed below the dedup shuffle, one lazy plan"),
     ("stratified_sample_docs", "stratified sample: bounded per-partition group top-k, window only over the candidate set"),
-    ("vocab_stats", "vocabulary tf/df: two partial/final aggs, map-side combine per doc, no countDistinct"),
-    ("tfidf_top_terms", "TF-IDF top terms: two partial/final aggs on the tf/df rails, tok shuffle join, per-doc window top-k — no float, no cartesian"),
-    ("doc_repetition", "repetition signals: codegen array bigrams (slice+zip_with, no self-join), two-level aggs with map-side combine, doc_id-aligned join"),
+    ("vocab_stats", "vocabulary tf/df: Arrow doc-local tf stream (MapInArrow), ONE bounded groupBy(tok), no countDistinct"),
+    ("tfidf_top_terms", "TF-IDF top terms: Arrow doc-local tf stream (MapInArrow), bounded df agg, tok join, per-doc window top-k — no float, no cartesian"),
+    ("doc_repetition", "repetition signals: ONE map-only MapInArrow pass (all six signals doc-local), no shuffle except the presentation sort"),
     ("asof_last_purchase", "as-of join: union + one window per key, no BroadcastNestedLoopJoin / range explosion"),
     ("purchase_click_attribution", "interval join: bucketized equi-join on (user, time-bucket), exact predicate after collocation — no BNLJ/cartesian"),
-    ("benchmark_contamination", "decontamination: ONE corpus shingling pass (count + overlap fold from the same exploded stream), broadcast benchmark probe, one partial/final groupBy(doc)"),
+    ("benchmark_contamination", "decontamination: Arrow shingle kernel (doc-distinct rows), broadcast int64-keyed benchmark probe, one partial/final groupBy(doc)"),
     ("table_profile", "data-quality profile: every metric one agg over one scan (expand for multi-distinct), stack() unpivot, no driver loops"),
-    ("event_sessions", "sessionization: native session_window aggregation, one shuffle on user"),
+    ("event_sessions", "sessionization: lag+cumsum windows sharing ONE per-user sort, then partial/final (user, session) agg"),
     ("kmv_retention", "retention from the per-day KMV rollup: bounded grouped partials, broadcast adjacent-day pair join, executor-side combine — no corpus rescan per pair"),
-    ("dup_spans", "duplicate-span detection: two doc-local codegen shingling passes, one distinct-(span,doc) shuffle for the dictionary, dictionary BROADCAST back (corpus never shuffles), no inferred-filter kernel inlining"),
-    ("collocations_dice", "collocation mining: doc-local tf pairs (no corpus (doc,token) agg), map-side-combinable n-gram groupBys, candidate-side joins after the min-count cut, TakeOrderedAndProject top-K"),
-    ("doc_familiarity", "bigram familiarity: doc-local tf pairs, one co-partitioned (bg) join, bounded bottom-K via TakeOrderedAndProject — no inferred-filter kernel inlining"),
+    ("dup_spans", "duplicate-span detection: Arrow span kernel (doc-DISTINCT spans w/ multiplicity), span-df dictionary BROADCAST back (corpus never shuffles), no corpus-wide distinct"),
+    ("collocations_dice", "collocation mining: Arrow n-gram tf kernels, map-side-combinable groupBys, candidate-side joins after the min-count cut, TakeOrderedAndProject top-K"),
+    ("doc_familiarity", "bigram familiarity: Arrow bigram-tf kernel, one co-partitioned (bg) join, bounded bottom-K via TakeOrderedAndProject"),
     ("trending_users", "recency-weighted HH: one-row MAX(day) broadcast, weighted partial/final sketch agg, broadcast probe join, TakeOrderedAndProject top-K"),
     ("host_quality_profile", "domain decision table: ONE map-side-combinable groupBy(source) over codegen textstats, no row shuffle"),
     ("url_canonicalize", "URL canonicalization: one map-only pass of whole-stage-codegen string expressions, no shuffle, no Python"),
