@@ -25,6 +25,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # this the scan produces plenty of splits anyway and a round-robin
 # repartition would move real data volume for nothing.
 SPREAD_MAX_BYTES = 4 << 30
+# Lower bound: below this the per-partition work is too small for the
+# extra exchange to pay for itself (measured at sf0.1: the 0.6 MB
+# documents table LOST 1.2-1.7x with the floor, while the 5.7 MB sf1.0
+# table won 2-6x — the knee sits between those).
+SPREAD_MIN_BYTES = 4 << 20
 
 
 def _table_bytes(sf_dir: str, name: str) -> int:
@@ -68,6 +73,6 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str,
     except (ValueError, AttributeError, IndexError):
         max_split = 128 << 20
     est_splits = max(1, -(-size // max(max_split, 1)))
-    if est_splits < cores and size <= SPREAD_MAX_BYTES:
+    if est_splits < cores and SPREAD_MIN_BYTES <= size <= SPREAD_MAX_BYTES:
         df = df.repartition(cores)
     return df
