@@ -1743,14 +1743,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``score = tf * ((N_docs * SCALE) div df)`` in 64-bit integer
     arithmetic (no floating-point log, no ulp drift between engines).
 
-    Scale shape: (1) one explode + groupBy(doc_id, tok) — partial/final
-    agg, the map-side combine collapses each doc's repeats before the
-    shuffle (doc-local sorted-run counting in codegen — see
-    _with_tf_pairs); (2) df folds from that stream with a bounded
-    groupBy(tok); (3) the tf←→df join shuffles on tok; (4) per-doc
-    top-K is a window over doc_id — high-cardinality partition key,
-    tiny per-partition sort. No distinct-universe collect, no cross
-    join, no float.
+    Scale shape: (1) one map-only Arrow pass emits the doc-local
+    (doc, DISTINCT token, tf) stream (functions/text_arrow, r6); (2) df
+    folds from that stream with a bounded groupBy(tok); (3) the
+    tf←→df join shuffles on tok; (4) per-doc top-K is a window over
+    doc_id — high-cardinality partition key, tiny per-partition sort.
+    No distinct-universe collect, no cross join, no float.
 
     Beyond-reference training-data operator (the reference has no
     document scoring); the tf/df rails match ``q_vocab_stats``."""
@@ -1758,54 +1756,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_spread(spark, sf_dir, "documents", "doc_id", "text"))
 
 
-def _with_tf_pairs(docs: DataFrame, arr_expr) -> DataFrame:
-    """Doc-local exact term frequencies with ZERO shuffle: sort the doc's
-    token array, find run starts, and zip each start with the next start
-    — one (tok, tf) struct per DISTINCT token, all in whole-stage codegen
-    higher-order functions. This replaces the explode + groupBy(doc, tok)
-    shape, whose corpus-wide (doc, token) hash aggregate was the dominant
-    shuffle of the text operators (and, fed into two join branches,
-    Catalyst computed it TWICE — no CSE across join children: the r4
-    two-level runs measured 0.61-0.65 scaling efficiency for exactly
-    that plan). Linear per doc after the O(t log t) local sort.
-
-    Returns docs + ``_l`` (token array) + ``_pairs``
-    (array<struct<tok,tf>>, empty for token-less docs)."""
-    d = docs.withColumn("_l", arr_expr).withColumn(
-        "_s", F.expr("sort_array(_l)"))
-    # run starts (1-based). sequence(1, 0) would count DOWN — guard empty.
-    # The OR short-circuits, so element_at(_s, i - 1) never sees i = 1.
-    d = d.withColumn("_starts", F.expr(
-        "CASE WHEN size(_s) = 0 THEN CAST(array() AS array<int>) "
-        "ELSE filter(sequence(1, size(_s)), i -> "
-        "i = 1 OR element_at(_s, i) != element_at(_s, i - 1)) END"))
-    # tf of the run starting at a = (next start) - a
-    d = d.withColumn("_pairs", F.expr(
-        "CASE WHEN size(_starts) = 0 THEN "
-        "CAST(array() AS array<struct<tok: string, tf: bigint>>) "
-        "ELSE zip_with(_starts, "
-        "concat(slice(_starts, 2, greatest(size(_starts) - 1, 0)), "
-        "array(size(_s) + 1)), "
-        "(a, b) -> struct(element_at(_s, a) AS tok, "
-        "CAST(b - a AS BIGINT) AS tf)) END"))
-    return d.drop("_s", "_starts")
-
-
 def tfidf_top_terms_df(docs: DataFrame) -> DataFrame:
     """Core of :func:`q_tfidf_top_terms` over any ``(doc_id, text)``
     DataFrame — split out so scale benches can drive it on synthetic
     corpora (scripts/text_ops_bench.py).
 
-    Plan shape: term frequencies are doc-local (``_with_tf_pairs``,
-    zero shuffle — replaces the r4 corpus-wide explode +
-    groupBy(doc, tok) hash aggregate), df folds from that stream with a
-    bounded groupBy(tok), and the tf←→df join shuffles on tok. The tf
-    subtree still feeds two join children (Catalyst does not CSE across
-    them), but the duplicated work is now a MAP-ONLY scan, not a
-    duplicated shuffle-aggregate as in r4. (A window-over-tok df — one
-    shuffle fewer on paper — was measured 20x SLOWER: WindowExec
-    buffers per partition-key group, and millions of tiny token groups
-    drown it in per-group overhead. Rejected.)"""
+    Plan shape: term frequencies are doc-local (one map-only Arrow
+    pass, functions/text_arrow — r6 replacement for the interpreted-HOF
+    sorted-run kernel), df folds from that stream with a bounded
+    groupBy(tok), and the tf←→df join shuffles on tok. The tf subtree
+    feeds two join children (Catalyst does not CSE across them) and is
+    recomputed per child — a MAP-ONLY scan each time, measured cheaper
+    than materializing the stream. (A window-over-tok df — one shuffle
+    fewer on paper — was measured 20x SLOWER: WindowExec buffers per
+    partition-key group, and millions of tiny token groups drown it in
+    per-group overhead. Rejected.)"""
     from ..functions.text_arrow import ngram_tf_rows_arrow
 
     # doc-local (doc, DISTINCT token, tf) stream in one Arrow pass
@@ -1873,11 +1838,10 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no float division).
 
     Scale shape: MAP-ONLY — every signal (token/bigram counts,
-    distincts, top-run tf) computes doc-locally from sorted arrays in
-    whole-stage codegen (_with_tf_pairs); bigrams are built with
-    slice + zip_with (no self-join, no window over token positions).
-    No explode, no shuffle, no join anywhere in the operator; the only
-    exchange is this wrapper's presentation-order sort.
+    distincts, top-run tf) computes doc-locally in one Arrow pass
+    (functions/text_arrow, r6). No explode, no shuffle, no join
+    anywhere in the operator; the only exchanges are the small-input
+    parallelism floor and this wrapper's presentation-order sort.
     Beyond-reference training-data operator."""
     return doc_repetition_df(
         load_spread(spark, sf_dir, "documents", "doc_id", "text")) \
