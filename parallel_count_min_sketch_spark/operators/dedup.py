@@ -249,16 +249,21 @@ def lsh_band_rows(df: DataFrame, id_col: str, text: str = "text", *,
     rows_per_band = num_perms // bands
     mins = _minhash_mins(df, id_col, text, num_perms=num_perms, seed=seed)
 
-    def band_key(i: int):
-        acc = F.lit(0).cast("bigint")
+    # ONE parsed SQL expression for the whole banded-key array: the
+    # Column-API fold costs ~4 py4j round-trips per chain step (~0.25 s
+    # per construction at 32 perms from the driver, paid on every query
+    # build). Same chained (acc * 1000003 + _m_j) % p arithmetic, left to
+    # right — identical values (mins are in [0, p), so % == pmod here).
+    def band_key(i: int) -> str:
+        acc = "CAST(0 AS BIGINT)"
         for j in range(i * rows_per_band, (i + 1) * rows_per_band):
-            acc = (acc * 1_000_003 + F.col(f"_m{j}")) % MERSENNE_PRIME
+            acc = f"(({acc}) * 1000003 + _m{j}) % {MERSENNE_PRIME}"
         return acc
 
+    keys = ", ".join(band_key(i) for i in range(bands))
     return mins.select(
         "_id",
-        F.posexplode(F.array(*[band_key(i) for i in range(bands)]))
-         .alias("band", "band_key"),
+        F.expr(f"posexplode(array({keys}))").alias("band", "band_key"),
     )
 
 
@@ -555,16 +560,16 @@ def _simhash_table_catalyst(df: DataFrame, id_col: str, text: str = "text", *,
     vocab = toks.select("_tok").distinct() \
         .withColumn("_tid", F.expr(djb2_sql_spark("_tok")))
     joined = toks.join(vocab, "_tok")
-    ones = [
-        F.sum(F.shiftright(F.col("_tid"), i).bitwiseAND(F.lit(1))).alias(f"_o{i}")
-        for i in range(bits)
-    ]
+    # parsed SQL strings, not per-bit Column chains: the Column-API form
+    # costs ~6 py4j round-trips per bit twice over (~0.5 s per
+    # construction at 32 bits from the driver, paid on every query build)
+    ones = [F.expr(f"sum(shiftright(_tid, {i}) & 1)").alias(f"_o{i}")
+            for i in range(bits)]
     votes = joined.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
-    sh = F.lit(0).cast("bigint")
-    for i in range(bits):
-        sh = sh + F.when(F.col(f"_o{i}") * 2 > F.col("_n"),
-                         F.lit(1 << i).cast("bigint")) \
-                   .otherwise(F.lit(0).cast("bigint"))
+    sh = F.expr(" + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [f"(CASE WHEN _o{i} * 2 > _n THEN CAST({1 << i} AS BIGINT) "
+           f"ELSE CAST(0 AS BIGINT) END)" for i in range(bits)]))
     fp = votes.select("_id", sh.alias("_sh"))
     base = df.select(_guarded_id(id_col)).distinct()
     return base.join(fp, "_id", "left").select(

@@ -39,6 +39,20 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text twin of ``_dot`` over named columns — same zip_with/
+    aggregate fold, parsed in one py4j round-trip instead of ~20."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+
+
+def _cos_expr(q: str, n: str):
+    """cosine(q, n) as ONE parsed expression: dot / (norm(q) * norm(n)),
+    the exact tree the ``_dot``/``_norm`` Column form builds."""
+    return F.expr(
+        f"{_dot_sql(q, n)} / (SQRT({_dot_sql(q, q)}) * SQRT({_dot_sql(n, n)}))")
+
+
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
                 k: int = 5) -> DataFrame:
     """Exact brute-force cosine top-k -> (query_id, rank, neighbor_id,
@@ -48,8 +62,7 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
     joined = base.join(F.broadcast(qdf), F.col("nid") != F.col("qid"))
-    sim = (_dot(F.col("qvec"), F.col("nvec"))
-           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    sim = _cos_expr("qvec", "nvec").alias("cos")
     scored = joined.select("qid", "nid", sim)
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -154,17 +167,22 @@ def lsh_bucket(vec_col: str, dim: int, n_planes: int = 8, *, seed: int = LSH_SEE
     weight array — NOT a chain of dim scalar adds, which at dim=64 x 8
     planes x multiple tables generates a method too large for janino
     (whole-stage-codegen crash). The fold evaluates ((0+p1)+p2)+...
-    left-to-right, the exact order the DuckDB oracle replays."""
-    key = F.lit(0).cast("bigint")
+    left-to-right, the exact order the DuckDB oracle replays.
+
+    Emitted as ONE parsed SQL expression: the Column-API form of the same
+    tree costs ~n_planes * dim py4j round-trips per construction (~0.5 s
+    per table at dim=64 from the driver, paid on every query build);
+    repr(float) round-trips binary64 exactly, so the parsed literals are
+    bit-identical to F.lit's."""
+    terms = ["CAST(0 AS BIGINT)"]
     for i in range(n_planes):
         plane = _plane_expr(i, dim, vec_col, seed)
-        warr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), warr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        key = key + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return key
+        warr = ", ".join(f"{float(x)!r}D" for x in plane)
+        dot = (f"aggregate(zip_with(`{vec_col}`, array({warr}), "
+               f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) "
+                     f"ELSE CAST(0 AS BIGINT) END)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_ann_topk_multiprobe(df: DataFrame, id_col: str, vec_col: str,
@@ -221,8 +239,7 @@ def lsh_ann_topk_multiprobe(df: DataFrame, id_col: str, vec_col: str,
         .select("qid", "qvec", "nid", "nvec")
         .dropDuplicates(["qid", "nid"])
     )
-    sim = (_dot(F.col("qvec"), F.col("nvec"))
-           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    sim = _cos_expr("qvec", "nvec").alias("cos")
     scored = joined.select("qid", "nid", sim)
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -350,11 +367,12 @@ def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
         cents.append([x / nrm for x in v])
 
     def dot_lit(vec: str, c: list[float]):
-        warr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col(vec), warr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, v_: acc + v_,
-        )
+        # one parsed SQL expression per centroid (not dim py4j literal
+        # calls): same fold, same op order, repr round-trips binary64
+        warr = ", ".join(f"{float(x)!r}D" for x in c)
+        return F.expr(
+            f"aggregate(zip_with(`{vec}`, array({warr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)")
 
     scores = F.array(*[dot_lit(vec_col, c) for c in cents])
     # materialize the score array ONCE per row; argmax = first maximum.
@@ -393,8 +411,7 @@ def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
         .select("qid", "qvec", "nid", "nvec")
         .dropDuplicates(["qid", "nid"])
     )
-    sim = (_dot(F.col("qvec"), F.col("nvec"))
-           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    sim = _cos_expr("qvec", "nvec").alias("cos")
     scored = joined.select("qid", "nid", sim)
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -451,8 +468,7 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str, dim: int, *,
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = (_dot(F.col("vec_a"), F.col("vec_b"))
-           / (_norm(F.col("vec_a")) * _norm(F.col("vec_b"))))
+    cos = _cos_expr("vec_a", "vec_b")
     return (
         cands.select("id_a", "id_b",
                      F.floor(cos * 10000.0).cast("bigint").alias("cosine_bp"))
@@ -473,8 +489,7 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, query_ids: list[int],
         F.col("nid").alias("qid"), F.col("nvec").alias("qvec"), F.col("bucket")
     )
     joined = bucketed.join(F.broadcast(qdf), "bucket").filter(F.col("nid") != F.col("qid"))
-    sim = (_dot(F.col("qvec"), F.col("nvec"))
-           / (_norm(F.col("qvec")) * _norm(F.col("nvec")))).alias("cos")
+    sim = _cos_expr("qvec", "nvec").alias("cos")
     scored = joined.select("qid", "nid", sim)
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

@@ -15,10 +15,28 @@ TABLES = (
 )
 
 
+# Memo of the ANALYZED TABLE RELATION per (session, dir, table) — a lazy
+# plan handle, the same immutable object a long-lived application would
+# hold in a variable. Nothing is computed or cached data-side: every
+# action on the returned DataFrame still plans against the live session
+# conf and scans the parquet. What this skips is re-resolving the
+# relation (DataSource resolution + schema read + py4j round-trips,
+# measured 70-150 ms per call from the driver) on every query
+# construction — driver overhead per guide §5, not result caching.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(name)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LOAD_MEMO[key] = df
+    return df
 
 
 # Upper bound on the table size the parallelism floor may shuffle: past
