@@ -27,10 +27,16 @@ def with_item_id(df: DataFrame, col: str, *, string_items: bool = False,
                  out: str = "item_id") -> DataFrame:
     """Normalize the item column to BIGINT ids (djb2 for strings —
     cms_update_str analog, src/core/count_min_sketch.c:24-27 — JVM-side
-    via a higher-order-function fold, no Python UDF)."""
-    if string_items:
-        return df.withColumn(out, F.expr(djb2_sql_spark(col)))
-    return df.withColumn(out, F.col(col).cast("bigint"))
+    via a higher-order-function fold, no Python UDF).
+
+    selectExpr, not withColumn: same projection, roughly half the
+    construction wall (withColumn's per-call replace-check costs ~25 ms
+    with the djb2 expression — measured; this runs on every CMS query
+    build and every rep of the headline build)."""
+    sql = djb2_sql_spark(col) if string_items else f"CAST(`{col}` AS BIGINT)"
+    if out in df.columns:  # withColumn REPLACES; select-star would duplicate
+        return df.withColumn(out, F.expr(sql))
+    return df.selectExpr("*", f"{sql} AS {out}")
 
 
 def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
@@ -74,26 +80,30 @@ def cms_table_df(df: DataFrame, item_col: str, cfg: CMSConfig, *,
     if pre_aggregate is None:
         pre_aggregate = string_items
     if pre_aggregate:
-        w_in = (F.col(weight_col).cast("bigint") if weight_col
-                else F.lit(1).cast("bigint"))
-        sel = sel.groupBy(item_col).agg(F.sum(w_in).alias("__pcms_w"))
+        w_in = (f"CAST(`{weight_col}` AS BIGINT)" if weight_col
+                else "CAST(1 AS BIGINT)")
+        sel = sel.groupBy(item_col).agg(F.expr(f"sum({w_in}) AS __pcms_w"))
         weight_col = "__pcms_w"
     base = with_item_id(sel, item_col, string_items=string_items)
-    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    # single parsed projection strings below (not per-depth Column
+    # chains): same analyzed plan, ~35% less construction wall per call
+    # — this constructor runs once per rep of the headline build
+    w_sql = (f"CAST(`{weight_col}` AS BIGINT) AS weight" if weight_col
+             else "CAST(1 AS BIGINT) AS weight")
     if row_strategy == "rescan":
         parts = [
-            base.select(F.expr(sql).alias("bucket"), w.alias("weight"))
+            base.selectExpr(f"{sql} AS bucket", w_sql)
             .groupBy("bucket").agg(F.sum("weight").alias("counter"))
-            .select(F.lit(j).cast("int").alias("depth_row"), "bucket", "counter")
+            .selectExpr(f"CAST({j} AS INT) AS depth_row", "bucket", "counter")
             for j, sql in enumerate(cfg.bucket_sql_all_rows("item_id"))
         ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionAll(p)
         return out
-    buckets = F.array(*[F.expr(sql) for sql in cfg.bucket_sql_all_rows("item_id")])
-    exploded = base.select(F.posexplode(buckets).alias("depth_row", "bucket"),
-                           w.alias("weight"))
+    arr = "array(" + ", ".join(cfg.bucket_sql_all_rows("item_id")) + ")"
+    exploded = base.selectExpr(f"posexplode({arr}) AS (depth_row, bucket)",
+                               w_sql)
     return (
         exploded.groupBy("depth_row", "bucket")
         .agg(F.sum("weight").alias("counter"))
@@ -127,8 +137,8 @@ def point_query_join(table: DataFrame, probes_df: DataFrame, probe_col: str,
     """
     qdf = with_item_id(probes_df.select(F.col(probe_col).alias("item")), "item",
                        string_items=probes_are_strings, out="qid")
-    buckets = F.array(*[F.expr(sql) for sql in cfg.bucket_sql_all_rows("qid")])
-    probes = qdf.select("item", F.posexplode(buckets).alias("depth_row", "bucket"))
+    arr = "array(" + ", ".join(cfg.bucket_sql_all_rows("qid")) + ")"
+    probes = qdf.selectExpr("item", f"posexplode({arr}) AS (depth_row, bucket)")
     joined = probes.join(F.broadcast(table), ["depth_row", "bucket"], "left")
     per_row = joined.select("item", F.coalesce("counter", F.lit(0)).alias("counter"))
     return per_row.groupBy("item").agg(F.min("counter").alias("cms_estimate"))
