@@ -74,7 +74,15 @@ def asof_join(left: DataFrame, right: DataFrame, key_col: str, ts_col: str,
     )
     out = both.withColumn(
         "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w))
-    for c in carried:
-        out = out.withColumn(c, F.col(f"_asof_payload.{c}"))
+    # one projection instead of a withColumn per carried column (each
+    # withColumn call costs ~20 ms of construction): same replace-in-
+    # place-or-append semantics as the loop it replaces
+    cset = set(carried)
+    existing = set(out.columns)
+    cols = [F.col(f"_asof_payload.{c}").alias(c) if c in cset else F.col(c)
+            for c in out.columns]
+    cols += [F.col(f"_asof_payload.{c}").alias(c)
+             for c in carried if c not in existing]
+    out = out.select(*cols)
     drop = ["_asof_side", "_asof_payload"] + (["_asof_tb"] if tiebreak_col else [])
     return out.filter(F.col("_asof_side") == 1).drop(*drop)
