@@ -208,16 +208,27 @@ def _minhash_mins_arrow(df: DataFrame, id_col: str, text: str = "text", *,
             starts = ends - counts
             sel = counts > 0
             st = starts[sel]
-            x = djb2_batch(flat_ne) % p  # token ids, already < p
+            # hash each BATCH-DISTINCT token once, then gather per
+            # occurrence: djb2 is byte-wise (the kernel's hottest loop)
+            # and real corpora repeat tokens heavily, so dictionary-encode
+            # first and run djb2 + the num_perms affine maps over the
+            # dictionary only. h_j per occurrence = hu_j[codes] is the
+            # same value as hashing the occurrence directly (identical
+            # string -> identical djb2 -> identical affine image), so
+            # every per-doc min is bit-identical to the per-occurrence
+            # form (equality-tested in tests/test_dedup_ops.py).
+            enc = flat_ne.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            xu = djb2_batch(enc.dictionary) % p  # token ids, already < p
             cols = {"_id": ids}
             null_mask = ~sel
             for j in range(num_perms):
-                h = (a_list[j] * x + b_list[j]) % p
+                hu = (a_list[j] * xu + b_list[j]) % p
                 res = np.zeros(n, dtype=np.int64)
                 if st.size:
                     # tokens are contiguous per doc (np.repeat order), so
                     # each reduceat segment [st_i, st_{i+1}) is one doc
-                    res[sel] = np.minimum.reduceat(h, st)
+                    res[sel] = np.minimum.reduceat(hu[codes], st)
                 cols[f"_m{j}"] = pa.array(res, mask=null_mask)
             yield pa.RecordBatch.from_pydict(cols)
 
@@ -619,7 +630,15 @@ def _simhash_arrow(df: DataFrame, id_col: str, text: str = "text", *,
             mask = pc.not_equal(flat, "")
             mask_np = mask.to_numpy(zero_copy_only=False).astype(bool)
             didx = np.repeat(codes, lens)[mask_np]
-            tid = djb2_batch(pc.filter(flat, mask))  # < LONG_PRIME < 2^33
+            # djb2 once per batch-distinct token, gathered per occurrence
+            # (same values as hashing each occurrence; the unique() below
+            # must still dedupe on tid — the vote domain is the hash
+            # VALUE, so two tokens colliding in djb2 count once, exactly
+            # as the Catalyst twin and the oracle replay it)
+            enc_t = pc.filter(flat, mask).dictionary_encode()
+            tid = djb2_batch(enc_t.dictionary)[
+                enc_t.indices.to_numpy(zero_copy_only=False)
+            ]  # < LONG_PRIME < 2^33
             # per-doc distinct (doc, token): pack into one int64 key
             # (doc index < 2^29 per batch, tid < 2^33 -> 63 bits)
             uk = np.unique((didx << np.int64(34)) | tid)

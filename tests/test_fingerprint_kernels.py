@@ -55,6 +55,31 @@ def test_simhash_arrow_equals_table_incl_dup_ids(spark):
             == _simhash_table_catalyst(df2, "doc_id").orderBy("_id").collect())
 
 
+def test_fingerprints_heavy_repetition_dictionary_path(spark):
+    """r6: both Arrow kernels hash each batch-distinct token once
+    (dictionary-encode + gather) instead of per occurrence. A corpus of
+    many docs drawn from a tiny vocabulary maximizes the dictionary
+    reuse; the per-doc mins/fingerprints must stay bit-identical to the
+    per-distinct Catalyst forms."""
+    from parallel_count_min_sketch_spark.operators.dedup import (
+        _minhash_mins_arrow,
+        _minhash_mins_table,
+        _simhash_arrow,
+        _simhash_table_catalyst,
+    )
+
+    vocab = ["the", "quick", "brown", "fox", "über", "fox"]
+    rows = [
+        (i, " ".join(vocab[(i + k) % len(vocab)] for k in range(1 + i % 9)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(3)
+    assert (_minhash_mins_arrow(df, "doc_id").orderBy("_id").collect()
+            == _minhash_mins_table(df, "doc_id").orderBy("_id").collect())
+    assert (_simhash_arrow(df, "doc_id").orderBy("_id").collect()
+            == _simhash_table_catalyst(df, "doc_id").orderBy("_id").collect())
+
+
 def test_kernels_reject_null_ids(spark):
     from parallel_count_min_sketch_spark.operators.dedup import (
         _minhash_mins_arrow,
