@@ -842,7 +842,7 @@ def q_rollup_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle gates both numbers and the CMS one-sided overestimate
     guarantee (est >= exact, by the same min-of-row-dots argument as the
     point query)."""
-    from ..operators.rollup import cms_time_buckets, rollup_range_collect
+    from ..operators.rollup import cms_time_buckets
     from ..sketches.cms import CountMinSketch
 
     ev = load(spark, sf_dir, "events").select("ts", "user_id")
@@ -857,17 +857,12 @@ def q_rollup_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "user_id", ROLLUP_CFG, pre_aggregate=True)
     _fb = lambda b: CountMinSketch.from_bytes(
         b, ROLLUP_CFG.epsilon, ROLLUP_CFG.delta)
-    rows, _ = rollup_range_collect(
-        buckets, min(OVERLAP_DAY_A, OVERLAP_DAY_B),
-        max(OVERLAP_DAY_A, OVERLAP_DAY_B), _fb)
-    day_blobs = {r["bucket"]: bytes(r["sketch"]) for r in rows}
-
-    def _day_sk(day: str):
-        blob = day_blobs.get(day)
-        return _fb(blob) if blob is not None else ROLLUP_CFG.new_sketch()
-
-    ska, skb = _day_sk(OVERLAP_DAY_A), _day_sk(OVERLAP_DAY_B)
-    est = int(ska.inner_product(skb))
+    lo = min(OVERLAP_DAY_A, OVERLAP_DAY_B)
+    hi = max(OVERLAP_DAY_A, OVERLAP_DAY_B)
+    blob_rel = (
+        buckets.filter((F.col("bucket") >= F.lit(lo))
+                       & (F.col("bucket") <= F.lit(hi)))
+        .select("bucket", "sketch", F.lit(None).cast("long").alias("x")))
 
     def per_user(day: str):
         return (ev.filter(F.col("ts").isNotNull()
@@ -875,12 +870,30 @@ def q_rollup_day_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                           & (F.to_date("ts") == F.lit(day).cast("date")))
                 .groupBy("user_id").agg(F.count("*").alias("n")))
 
-    exact = int(
+    # r6 follow-up: the two day blobs AND the exact inner-product scalar
+    # come back in ONE union action (both relations are bounded: two KB
+    # blob rows + one scalar row), instead of two sequential collects
+    exact_rel = (
         per_user(OVERLAP_DAY_A).withColumnRenamed("n", "na")
         .join(per_user(OVERLAP_DAY_B).withColumnRenamed("n", "nb"), "user_id")
         .agg(F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
              .alias("x"))
-        .collect()[0]["x"])  # one-row scalar aggregate
+        .select(F.lit(None).cast("string").alias("bucket"),
+                F.lit(None).cast("binary").alias("sketch"), "x"))
+    day_blobs: dict = {}
+    exact = 0
+    for r in blob_rel.unionByName(exact_rel).collect():
+        if r["sketch"] is not None:
+            day_blobs[r["bucket"]] = bytes(r["sketch"])
+        else:
+            exact = int(r["x"])
+
+    def _day_sk(day: str):
+        blob = day_blobs.get(day)
+        return _fb(blob) if blob is not None else ROLLUP_CFG.new_sketch()
+
+    ska, skb = _day_sk(OVERLAP_DAY_A), _day_sk(OVERLAP_DAY_B)
+    est = int(ska.inner_product(skb))
     return spark.createDataFrame(
         [(OVERLAP_DAY_A, OVERLAP_DAY_B, est, exact, est >= exact)],
         "day_a STRING, day_b STRING, est_inner BIGINT, exact_inner BIGINT, "

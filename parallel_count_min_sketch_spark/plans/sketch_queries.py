@@ -301,18 +301,39 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi_d = _dt.date.fromisoformat(ROLLUP_HI)
     win_days = [lo_d + _dt.timedelta(days=i + SLIDE_WINDOW_DAYS - 1)
                 for i in range((hi_d - lo_d).days - SLIDE_WINDOW_DAYS + 2)]
-    # ONE job pulls every covered day blob (bounded: ≤ span-many KB rows
-    # — the store regime's whole point); the 8 window merges are then
-    # driver-side register-max folds, microseconds each, instead of 8
-    # filter+treeReduce Spark jobs (measured 10.2 s -> the buckets build
-    # alone). Same .merge() calls, so the state is identical.
+    spine = spark.createDataFrame([(d.isoformat(),) for d in win_days],
+                                  "win_day STRING")
+    # ONE job pulls every covered day blob AND the exact per-window counts
+    # (r6: the two consumer collects are fused into a single union action
+    # over the checkpointed pairs, so their stages run inside one job —
+    # both relations are bounded: ≤ span-many KB blob rows + one row per
+    # window). The 8 window merges are then driver-side register-max
+    # folds, microseconds each, instead of 8 filter+treeReduce Spark jobs
+    # (measured 10.2 s -> the buckets build alone). Same .merge() calls,
+    # so the state is identical.
+    bsel = buckets.filter(
+        (F.col("bucket") >= ROLLUP_LO) & (F.col("bucket") <= ROLLUP_HI)
+    ).select(F.col("bucket").alias("k"), "sketch",
+             F.lit(None).cast("long").alias("n"))
+    esel = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("win_day"))
+            & (F.col("d") >= F.date_sub(F.col("win_day").cast("date"),
+                                        SLIDE_WINDOW_DAYS - 1).cast("string")))
+        .groupBy("win_day").agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("win_day").alias("k"),
+                F.lit(None).cast("binary").alias("sketch"), "n")
+    )
     day_sk: dict = {}
-    for r in buckets.filter(
-            (F.col("bucket") >= ROLLUP_LO) & (F.col("bucket") <= ROLLUP_HI)
-    ).select("bucket", "sketch").collect():
-        sk = _hll_from_bytes(bytes(r["sketch"]))
-        prev = day_sk.get(r["bucket"])
-        day_sk[r["bucket"]] = prev.merge(sk) if prev is not None else sk
+    exact: dict = {}
+    for r in bsel.unionByName(esel).collect():
+        if r["sketch"] is not None:
+            sk = _hll_from_bytes(bytes(r["sketch"]))
+            prev = day_sk.get(r["k"])
+            day_sk[r["k"]] = prev.merge(sk) if prev is not None else sk
+        else:
+            exact[r["k"]] = r["n"]
 
     def window_merge(d: _dt.date):
         out = _mk_hll()
@@ -323,20 +344,6 @@ def q_hll_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     merged = {d: window_merge(d) for d in win_days}
-
-    spine = spark.createDataFrame([(d.isoformat(),) for d in win_days],
-                                  "win_day STRING")
-    du = pairs
-    exact = {
-        r["win_day"]: r["n"]
-        for r in du.join(
-            F.broadcast(spine),
-            (F.col("d") <= F.col("win_day"))
-            & (F.col("d") >= F.date_sub(F.col("win_day").cast("date"),
-                                        SLIDE_WINDOW_DAYS - 1).cast("string")))
-        .groupBy("win_day").agg(F.countDistinct("user_id").alias("n"))
-        .collect()  # one row per window — bounded by the spine
-    }
     thr = 5 * (1.04 / math.sqrt(_mk_hll().m))
     rows = []
     for d in win_days:
@@ -958,7 +965,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DISTINCT hashes), so the sketch over the distinct relation is
     # bit-identical to the per-occurrence build; the localCheckpoint'ed
     # distinct then also serves the exact count, collapsing two full
-    # scans into one shuffle (guide §1.2/§2.4)
+    # scans into one shuffle (guide §1.2/§2.4). (A partials-checkpoint
+    # variant — fold the kernel into the distinct job, checkpoint only
+    # the KB blob rows — was built, value-verified, and A/B'd SLOWER at
+    # bench scale: 1.33 s vs 0.94 s; the distinct relation is small here
+    # and the extra Python task boundary outweighs the saved scan.)
     d = li.select("l_partkey").distinct().localCheckpoint()
     sk = build_sketch(d, "l_partkey", _mk_kmv, _kmv_from_bytes)
     exact = d.count()
